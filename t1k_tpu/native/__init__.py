@@ -1,0 +1,206 @@
+"""ctypes bindings for the native host engine (libt1k_native.so).
+
+The engine implements the seed/chain/banded-DP/extend read-assignment hot
+path and the exact-f64 EM inner loop.  It is built automatically on first
+import if the shared library is missing or stale.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libt1k_native.so")
+
+_c_i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+_c_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_c_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_c_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_c_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+
+
+def _build_if_needed() -> None:
+    srcs = [os.path.join(_DIR, f) for f in ("engine.cc", "em.cc")]
+    if os.path.exists(_SO) and all(
+        os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs
+    ):
+        return
+    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+
+
+_build_if_needed()
+_lib = ct.CDLL(_SO)
+
+_lib.t1k_engine_create.restype = ct.c_void_p
+_lib.t1k_engine_create.argtypes = [
+    _c_i8p, _c_i64p, _c_i32p, _c_u8p,
+    ct.c_int32, ct.c_int64, ct.c_int32, ct.c_double, ct.c_int32, ct.c_int32,
+]
+_lib.t1k_engine_destroy.argtypes = [ct.c_void_p]
+_lib.t1k_engine_set_hit_len.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_assign_batch.restype = ct.c_int64
+_lib.t1k_assign_batch.argtypes = [
+    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
+]
+_lib.t1k_get_results.restype = ct.POINTER(ct.c_double)
+_lib.t1k_get_results.argtypes = [ct.c_void_p]
+_lib.t1k_get_result_offsets.restype = ct.POINTER(ct.c_int64)
+_lib.t1k_get_result_offsets.argtypes = [ct.c_void_p]
+_lib.t1k_get_pos_weight.restype = ct.POINTER(ct.c_int32)
+_lib.t1k_get_pos_weight.argtypes = [ct.c_void_p]
+_lib.t1k_screen_batch.argtypes = [
+    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, ct.c_int64, _c_u8p,
+]
+_lib.t1k_align_global.restype = ct.c_int32
+_lib.t1k_align_global.argtypes = [
+    _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
+]
+_lib.t1k_em_quantify.restype = ct.c_int32
+_lib.t1k_em_quantify.argtypes = [
+    ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
+    _c_i64p, _c_i32p, _c_i64p, _c_i32p, _c_f64p,
+    _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
+    ct.c_double, ct.c_double, ct.c_int32, _c_f64p,
+]
+
+# Result record layout produced by t1k_assign_batch.
+ASSIGN_FIELDS = (
+    "seq_idx", "read_start", "read_end", "seq_start", "seq_end", "strand",
+    "match_cnt", "relaxed_match_cnt", "similarity", "left_clip", "right_clip",
+)
+N_ASSIGN_FIELDS = len(ASSIGN_FIELDS)
+
+
+def align_global(t: np.ndarray, p: np.ndarray, band: int = 5) -> Tuple[int, np.ndarray]:
+    """Banded affine global alignment; returns (score, edit ops int8)."""
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    p = np.ascontiguousarray(p, dtype=np.int8)
+    out = np.empty(len(t) + len(p) + 1, dtype=np.int8)
+    score = _lib.t1k_align_global(t, len(t), p, len(p), band, out)
+    n = int(np.argmax(out == -1))
+    return score, out[:n]
+
+
+class NativeEngine:
+    """Read-assignment engine bound to one packed reference."""
+
+    def __init__(
+        self,
+        packed,                      # io.refset.PackedRef
+        kmer_length: int,
+        ref_seq_similarity: float = 0.8,
+        hit_len_required: int = 31,
+        relax_intron_align: bool = False,
+    ):
+        self._packed = packed
+        total = int(packed.seq_codes.shape[0])
+        self._handle = _lib.t1k_engine_create(
+            np.ascontiguousarray(packed.seq_codes, dtype=np.int8),
+            np.ascontiguousarray(packed.seq_starts, dtype=np.int64),
+            np.ascontiguousarray(packed.seq_lens, dtype=np.int32),
+            np.ascontiguousarray(packed.exon_mask, dtype=np.uint8),
+            packed.n, total, kmer_length,
+            ref_seq_similarity, hit_len_required, int(relax_intron_align),
+        )
+        self.kmer_length = kmer_length
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            _lib.t1k_engine_destroy(handle)
+            self._handle = None
+
+    def set_hit_len_required(self, h: int) -> None:
+        _lib.t1k_engine_set_hit_len(self._handle, h)
+
+    def assign_batch(
+        self,
+        read_codes: np.ndarray,
+        read_starts: np.ndarray,
+        read_lens: np.ndarray,
+        weights: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Assign unique reads; returns (records [N,11] f64, offsets [R+1])."""
+        n = len(read_lens)
+        total = _lib.t1k_assign_batch(
+            self._handle,
+            np.ascontiguousarray(read_codes, dtype=np.int8),
+            np.ascontiguousarray(read_starts, dtype=np.int64),
+            np.ascontiguousarray(read_lens, dtype=np.int32),
+            np.ascontiguousarray(weights, dtype=np.int32),
+            n,
+        )
+        rec = np.ctypeslib.as_array(
+            _lib.t1k_get_results(self._handle), shape=(int(total), N_ASSIGN_FIELDS)
+        ).copy() if total else np.zeros((0, N_ASSIGN_FIELDS))
+        off = np.ctypeslib.as_array(
+            _lib.t1k_get_result_offsets(self._handle), shape=(n + 1,)
+        ).copy()
+        return rec, off
+
+    def pos_weight(self) -> np.ndarray:
+        """Per-base coverage counts, shape [total_len, 4] (view copy)."""
+        total = int(self._packed.seq_codes.shape[0])
+        return np.ctypeslib.as_array(
+            _lib.t1k_get_pos_weight(self._handle), shape=(total, 4)
+        ).copy()
+
+    def screen_batch(
+        self, read_codes: np.ndarray, read_starts: np.ndarray, read_lens: np.ndarray
+    ) -> np.ndarray:
+        n = len(read_lens)
+        flags = np.zeros(n, dtype=np.uint8)
+        _lib.t1k_screen_batch(
+            self._handle,
+            np.ascontiguousarray(read_codes, dtype=np.int8),
+            np.ascontiguousarray(read_starts, dtype=np.int64),
+            np.ascontiguousarray(read_lens, dtype=np.int32),
+            n, flags,
+        )
+        return flags
+
+
+def em_quantify(
+    ec_to_alleles: List[List[int]],
+    rg_ecs_csr: Tuple[np.ndarray, np.ndarray],  # (offsets int64, ecs int32)
+    rg_counts: np.ndarray,
+    allele_eff_len: np.ndarray,
+    allele_missing: np.ndarray,
+    allele_weight: np.ndarray,
+    allele_gene: np.ndarray,
+    allele_major: np.ndarray,
+    n_genes: int,
+    n_majors: int,
+    filter_frac: float = 0.15,
+    min_squarem_alpha: float = 0.0,
+    max_iterations: int = 1000,
+) -> Tuple[int, np.ndarray]:
+    """Run the exact EM; returns (iterations, ec_read_count f64)."""
+    ec_cnt = len(ec_to_alleles)
+    ec_off = np.zeros(ec_cnt + 1, dtype=np.int64)
+    for i, lst in enumerate(ec_to_alleles):
+        ec_off[i + 1] = ec_off[i] + len(lst)
+    ec_all = np.array(
+        [a for lst in ec_to_alleles for a in lst], dtype=np.int32
+    ) if ec_cnt else np.zeros(0, np.int32)
+    rg_off, rg_ecs = rg_ecs_csr
+    out = np.zeros(ec_cnt, dtype=np.float64)
+    iters = _lib.t1k_em_quantify(
+        ec_cnt, len(allele_eff_len), n_genes, n_majors, len(rg_counts),
+        np.ascontiguousarray(ec_off), np.ascontiguousarray(ec_all),
+        np.ascontiguousarray(rg_off, dtype=np.int64),
+        np.ascontiguousarray(rg_ecs, dtype=np.int32),
+        np.ascontiguousarray(rg_counts, dtype=np.float64),
+        np.ascontiguousarray(allele_eff_len, dtype=np.int32),
+        np.ascontiguousarray(allele_missing, dtype=np.int32),
+        np.ascontiguousarray(allele_weight, dtype=np.int32),
+        np.ascontiguousarray(allele_gene, dtype=np.int32),
+        np.ascontiguousarray(allele_major, dtype=np.int32),
+        filter_frac, min_squarem_alpha, max_iterations, out,
+    )
+    return iters, out

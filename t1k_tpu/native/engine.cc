@@ -1,0 +1,985 @@
+// t1k_tpu native host engine.
+//
+// Implements the read-to-allele assignment hot path on the host CPU:
+//   k-mer probing -> per-(strand,allele) diagonal clustering -> LIS chaining
+//   -> banded affine-gap DP gap fill -> overhang extension -> full-span
+//   alignment with exon-relaxed recount and coverage accumulation.
+//
+// This is a from-scratch implementation of the behavioral contracts
+// documented in SURVEY.md sections 2-3 (reference: mourisl/T1K; file:line
+// citations in comments refer to that codebase).  The companion TPU path
+// (t1k_tpu/ops) executes the same DP contract as a batched Pallas kernel;
+// this engine is the CPU fallback and the bit-exactness oracle.
+//
+// All sequence data uses the framework's integer encoding:
+//   A=0 C=1 G=2 T=3, N/other=4.
+//
+// Build: see Makefile (produces libt1k_native.so, loaded via ctypes).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <unordered_map>
+#include <vector>
+
+namespace t1k {
+
+// ----------------------------------------------------------------- scoring
+// Alignment score set (reference AlignAlgo.hpp:12-16).
+constexpr int kMatch = 2;
+constexpr int kMismatch = -2;
+constexpr int kGapOpen = -4;
+constexpr int kGapExtend = -1;
+
+constexpr int8_t kEditMatch = 0;
+constexpr int8_t kEditMismatch = 1;
+constexpr int8_t kEditInsert = 2;  // consumes read (pattern) only
+constexpr int8_t kEditDelete = 3;  // consumes reference (text) only
+constexpr int8_t kEditEnd = -1;
+
+inline bool BaseEq(int8_t t, int8_t p) {
+  // N matches everything (reference AlignAlgo.hpp:304).
+  return t == p || t == 4 || p == 4;
+}
+
+// Banded global alignment with affine gaps.
+//
+// Semantics contract (reference AlignAlgo.hpp:215-421): band of `band`
+// widened on one side by the length difference; sentinel cells just outside
+// the band; the specific boundary initialization (including the quirk that
+// the insert-matrix top row uses lenp+1 gap opens); traceback preference
+// diagonal > delete > insert with the exact matrix-switch rules.
+// Returns the score; appends the edit walk (left-to-right) to `edits`
+// terminated implicitly by its size.
+struct AlignScratch {
+  std::vector<int> m, e, f;
+  std::vector<int8_t> rev;
+};
+
+static int BandedGlobalAlign(const int8_t* t, int lent, const int8_t* p,
+                             int lenp, int band, std::vector<int8_t>* edits,
+                             AlignScratch* scr) {
+  edits->clear();
+  if (lent == 0 || lenp == 0) return 0;
+  if (lent == 1 && lenp == 1) {
+    bool eq = BaseEq(t[0], p[0]);
+    edits->push_back(eq ? kEditMatch : kEditMismatch);
+    return eq ? kMatch : kMismatch;
+  }
+
+  int leftBand = band, rightBand = band;
+  if (lent > lenp) rightBand += lent - lenp;
+  else if (lent < lenp) leftBand += lenp - lent;
+
+  const int W = lent + 1;
+  const long total = (long)(lenp + 1) * W;
+  const int negInf = (lent + 1) * (lenp + 1) * kGapOpen;
+  std::vector<int>& m = scr->m;
+  std::vector<int>& e = scr->e;
+  std::vector<int>& f = scr->f;
+  if ((long)m.size() < total) {
+    m.resize(total);
+    e.resize(total);
+    f.resize(total);
+  }
+
+  m[0] = e[0] = f[0] = 0;
+  for (int i = 1; i <= lenp; ++i) {
+    e[(long)i * W] = kGapOpen + i * kGapExtend;
+    f[(long)i * W] = kGapOpen + i * kGapOpen;
+    m[(long)i * W] = kGapOpen + i * kGapOpen;
+  }
+  for (int j = 1; j <= lent; ++j) {
+    f[j] = kGapOpen + j * kGapExtend;
+    // Quirk preserved from the reference (AlignAlgo.hpp:268): the loop
+    // counter value lenp+1 leaks into the insert-row initialization.
+    e[j] = kGapOpen + (lenp + 1) * kGapOpen;
+    m[j] = kGapOpen + j * kGapOpen;
+  }
+
+  for (int i = 1; i <= lenp; ++i) {
+    int start = i - leftBand < 1 ? 1 : i - leftBand;
+    int end = i + rightBand > lent ? lent : i + rightBand;
+    long row = (long)i * W;
+    long prow = row - W;
+    if (start > 1) e[row + start - 1] = f[row + start - 1] = m[row + start - 1] = negInf;
+    if (end < lent) e[row + end + 1] = f[row + end + 1] = m[row + end + 1] = negInf;
+    for (int j = start; j <= end; ++j) {
+      int ev = e[prow + j] + kGapExtend;
+      int t2 = m[prow + j] + kGapOpen + kGapExtend;
+      if (t2 > ev) ev = t2;
+      e[row + j] = ev;
+
+      int fv = f[row + j - 1] + kGapExtend;
+      t2 = m[row + j - 1] + kGapOpen + kGapExtend;
+      if (t2 > fv) fv = t2;
+      f[row + j] = fv;
+
+      int mv = m[prow + j - 1] + (BaseEq(t[j - 1], p[i - 1]) ? kMatch : kMismatch);
+      if (ev > mv) mv = ev;
+      if (fv > mv) mv = fv;
+      m[row + j] = mv;
+    }
+  }
+
+  int score = m[(long)lenp * W + lent];
+
+  // Traceback; ops collected right-to-left then reversed.
+  std::vector<int8_t>& rev = scr->rev;
+  rev.clear();
+  int ti = lenp, tj = lent;
+  int state = 0;  // 0 = main, 1 = insert run, 2 = delete run
+  while (ti > 0 || tj > 0) {
+    long cell = (long)ti * W + tj;
+    if (state == 0) {
+      int a = kEditInsert;
+      if (f[cell] >= e[cell]) a = kEditDelete;
+      if (ti > 0 && tj > 0) {
+        bool eq = BaseEq(t[tj - 1], p[ti - 1]);
+        if (m[cell - W - 1] + (eq ? kMatch : kMismatch) == m[cell])
+          a = eq ? kEditMatch : kEditMismatch;
+      }
+      if (a == kEditMatch || a == kEditMismatch) {
+        rev.push_back(a);
+        --ti;
+        --tj;
+      } else if (a == kEditInsert) {
+        state = 1;
+      } else {
+        state = 2;
+      }
+    } else if (state == 1) {
+      rev.push_back(kEditInsert);
+      if (ti > 0) {
+        if (m[cell - W] + kGapOpen + kGapExtend == e[cell]) state = 0;
+        --ti;
+      } else {
+        state = 2;
+      }
+    } else {
+      rev.push_back(kEditDelete);
+      if (tj > 0) {
+        if (m[cell - 1] + kGapOpen + kGapExtend == f[cell]) state = 0;
+        --tj;
+      } else {
+        state = 1;
+      }
+    }
+  }
+  edits->assign(rev.rbegin(), rev.rend());
+  return score;
+}
+
+struct EditStats {
+  int match = 0, mismatch = 0, indel = 0;
+};
+
+static EditStats CountEdits(const std::vector<int8_t>& edits) {
+  EditStats s;
+  for (int8_t op : edits) {
+    if (op == kEditMatch) ++s.match;
+    else if (op == kEditMismatch) ++s.mismatch;
+    else ++s.indel;
+  }
+  return s;
+}
+
+// -------------------------------------------------------------- k-mer index
+struct Posting {
+  int32_t seq;
+  int32_t off;
+};
+
+// Rolling 2-bit k-mer code over the integer base encoding.  To preserve the
+// reference's probe-dedup semantics, invalid bases contribute bit pattern 3
+// to the code (matching its nucToNum['N'] & 3) while a validity window is
+// tracked separately (reference KmerCode.hpp:93-108).
+struct RollingCode {
+  uint64_t code = 0;
+  uint64_t mask;
+  int k;
+  int invalid = -1;  // countdown position of the most recent invalid base
+
+  explicit RollingCode(int kl) : k(kl) {
+    mask = (kl >= 32) ? ~0ull : ((1ull << (2 * kl)) - 1);
+  }
+  inline void push(int8_t c) {
+    if (invalid != -1) ++invalid;
+    code = ((code << 2) & mask) | (uint64_t)(c == 4 ? 3 : c);
+    if (c == 4) invalid = 0;
+    if (invalid >= k) invalid = -1;
+  }
+  inline bool valid() const { return invalid == -1; }
+  inline void reset() {
+    code = 0;
+    invalid = -1;
+  }
+};
+
+class KmerIndex {
+ public:
+  explicit KmerIndex(int k) : k_(k) {}
+
+  // Index all k-mers of one sequence.  Consecutive duplicate codes are
+  // inserted only once, with the reference's two boundary quirks: the very
+  // first window is skipped when its code equals the empty rolling state
+  // (0), and the window at offset 1 is always inserted
+  // (KmerIndex.hpp:107-130).
+  void AddSequence(const int8_t* s, int len, int32_t id) {
+    if (len < k_) return;
+    RollingCode rc(k_);
+    uint64_t prev = 0;
+    for (int i = 0; i < k_ - 1; ++i) rc.push(s[i]);
+    for (int i = k_ - 1; i < len; ++i) {
+      rc.push(s[i]);
+      if (rc.valid() && (i == k_ || rc.code != prev))
+        table_[rc.code].push_back({id, i - k_ + 1});
+      prev = rc.code;
+    }
+  }
+
+  const std::vector<Posting>* Find(uint64_t code) const {
+    auto it = table_.find(code);
+    return it == table_.end() ? nullptr : &it->second;
+  }
+
+  int k() const { return k_; }
+
+ private:
+  int k_;
+  std::unordered_map<uint64_t, std::vector<Posting>> table_;
+};
+
+// ------------------------------------------------------------------- engine
+struct Overlap {
+  int32_t seq = -1;
+  int32_t readStart = 0, readEnd = 0;
+  int32_t seqStart = 0, seqEnd = 0;
+  int32_t strand = 0;
+  int32_t matchCnt = 0;
+  int32_t relaxedMatchCnt = 0;
+  double similarity = 0;
+  int32_t leftClip = 0, rightClip = 0;
+};
+
+// Ranking order for overlaps (reference SeqSet.hpp:103-127): more matched
+// bases first, then higher similarity, longer read span, smaller ids/coords.
+static bool OverlapRankLess(const Overlap& a, const Overlap& b) {
+  if (a.matchCnt != b.matchCnt) return a.matchCnt > b.matchCnt;
+  if (a.similarity != b.similarity) return a.similarity > b.similarity;
+  int la = a.readEnd - a.readStart, lb = b.readEnd - b.readStart;
+  if (la != lb) return la > lb;
+  if (a.seq != b.seq) return a.seq < b.seq;
+  if (a.strand != b.strand) return a.strand < b.strand;
+  if (a.readStart != b.readStart) return a.readStart < b.readStart;
+  if (a.readEnd != b.readEnd) return a.readEnd < b.readEnd;
+  if (a.seqStart != b.seqStart) return a.seqStart < b.seqStart;
+  return a.seqEnd < b.seqEnd;
+}
+
+struct Hit {
+  int32_t strand;  // -1 or 1
+  int32_t seq;
+  int32_t roff;  // offset in read (rc-read offsets for strand -1)
+  int32_t soff;  // offset in reference sequence
+};
+
+struct Seed {
+  int32_t a;  // read offset
+  int32_t b;  // seq offset
+};
+
+struct Engine {
+  // Packed reference.
+  const int8_t* codes;
+  std::vector<int64_t> starts;
+  std::vector<int32_t> lens;
+  const uint8_t* exonMask;
+  int32_t nSeqs;
+  std::vector<std::vector<int32_t>> separators;  // N positions per seq
+  std::vector<int8_t> ownedCodes;
+  std::vector<uint8_t> ownedExon;
+
+  KmerIndex index;
+  int radius = 10;
+  int hitLenRequired = 31;
+  double refSim = 0.8;
+  bool relaxIntron = false;
+
+  // Per-base coverage of matched read bases, [sum(len)][4].
+  std::vector<int32_t> posWeight;
+
+  // Result staging for the batched API.
+  std::vector<double> results;
+  std::vector<int64_t> resultOffsets;
+
+  AlignScratch scratch;
+
+  Engine(int k) : index(k) {}
+
+  int64_t SeqStart(int s) const { return starts[s]; }
+  const int8_t* Seq(int s) const { return codes + starts[s]; }
+  int32_t SeqLen(int s) const { return lens[s]; }
+
+  bool SeparatorInRange(int s, int e, int seq) const {
+    for (int32_t pos : separators[seq])
+      if (pos >= s && pos <= e) return true;
+    return false;
+  }
+};
+
+// Probe every k-mer of the read (both strands unless `strand` pins one) and
+// collect postings.  Probe-skipping: positions whose posting list has >= 100
+// entries are skipped up to k/2 times in a row (SeqSet.hpp:1081-1119).
+static void CollectHits(const Engine& eng, const int8_t* read, int len,
+                        const int8_t* rcRead, int strand,
+                        std::vector<Hit>* hits) {
+  const int k = eng.index.k();
+  const int skipLimit = k / 2;
+  for (int pass = 0; pass < 2; ++pass) {
+    int hitStrand = pass == 0 ? 1 : -1;
+    if ((hitStrand == 1 && strand == -1) || (hitStrand == -1 && strand == 1))
+      continue;
+    const int8_t* r = pass == 0 ? read : rcRead;
+    RollingCode rc(k);
+    uint64_t prev = 0;
+    int skipCnt = 0;
+    for (int i = 0; i < k - 1; ++i) rc.push(r[i]);
+    for (int i = k - 1; i < len; ++i) {
+      rc.push(r[i]);
+      if (i == k - 1 || rc.code != prev) {
+        const std::vector<Posting>* plist =
+            rc.valid() ? eng.index.Find(rc.code) : nullptr;
+        int size = plist ? (int)plist->size() : 0;
+        if (size >= 100 && i != k - 1 && i != len - 1 && skipCnt < skipLimit) {
+          ++skipCnt;
+          continue;  // note: prev deliberately not updated (contract quirk)
+        }
+        skipCnt = 0;
+        for (int j = 0; j < size; ++j)
+          hits->push_back({hitStrand, (*plist)[j].seq, i - k + 1, (*plist)[j].off});
+      }
+      prev = rc.code;
+    }
+  }
+}
+
+static bool HitOrderLess(const Hit& a, const Hit& b) {
+  if (a.strand != b.strand) return a.strand < b.strand;
+  if (a.seq != b.seq) return a.seq < b.seq;
+  if (a.roff != b.roff) return a.roff < b.roff;
+  return a.soff < b.soff;
+}
+
+// O(n log n) longest (strictly) increasing subsequence in `a` over seeds
+// sorted by (b, a); same tie handling as the reference
+// (SeqSet.hpp:352-436), then collapse duplicate b keeping the first.
+static void ChainLIS(const std::vector<Seed>& in, std::vector<Seed>* out) {
+  int n = (int)in.size();
+  out->clear();
+  if (n == 0) return;
+  std::vector<int> top(n), link(n, -1);
+  top[0] = 0;
+  int ret = 1;
+  for (int i = 1; i < n; ++i) {
+    int tag;
+    if (in[top[ret - 1]].a <= in[i].a) {
+      tag = ret - 1;
+    } else {
+      // binary search: rightmost index with top value a <= in[i].a,
+      // stopping early on exact equality
+      int l = 0, r = ret - 1, m;
+      tag = -1;
+      while (l <= r) {
+        m = (l + r) / 2;
+        if (in[top[m]].a == in[i].a) {
+          tag = m;
+          break;
+        } else if (in[i].a < in[top[m]].a) {
+          r = m - 1;
+        } else {
+          l = m + 1;
+        }
+      }
+      if (tag == -1) tag = l - 1;
+    }
+    if (tag == -1) {
+      top[0] = i;
+      link[i] = -1;
+    } else if (in[i].a > in[top[tag]].a) {
+      if (tag == ret - 1) {
+        top[ret] = i;
+        link[i] = top[tag];
+        ++ret;
+      } else if (in[i].a < in[top[tag + 1]].a) {
+        top[tag + 1] = i;
+        link[i] = top[tag];
+      }
+    }
+  }
+  std::vector<Seed> lis;
+  for (int k = top[ret - 1]; k != -1; k = link[k]) lis.push_back(in[k]);
+  std::reverse(lis.begin(), lis.end());
+  out->push_back(lis[0]);
+  for (int i = 1; i < (int)lis.size(); ++i)
+    if (lis[i].b != out->back().b) out->push_back(lis[i]);
+}
+
+static int TotalSpan(const std::vector<Seed>& seeds, bool onRead, int k) {
+  int n = (int)seeds.size();
+  int ret = 0;
+  int i = 0;
+  while (i < n) {
+    int j = i + 1;
+    while (j < n) {
+      int cur = onRead ? seeds[j].a : seeds[j].b;
+      int prv = onRead ? seeds[j - 1].a : seeds[j - 1].b;
+      if (cur > prv + k - 1) break;
+      ++j;
+    }
+    ret += (onRead ? seeds[j - 1].a - seeds[i].a : seeds[j - 1].b - seeds[i].b) + k;
+    i = j;
+  }
+  return ret;
+}
+
+// From sorted hits build candidate overlaps: per (strand, seq) group,
+// cluster by diagonal (radius 10 for reference sequences), keep per read
+// offset the seed closest to the dominant diagonal, chain with LIS, apply
+// the minimum-span filters (SeqSet.hpp:1232-1556).
+static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
+                          int hitLenRequired,
+                          std::vector<Overlap>* overlaps,
+                          std::vector<std::vector<Seed>>* overlapSeeds) {
+  const int k = eng.index.k();
+  const int minHitRequired = 3;
+  int n = (int)hits.size();
+  int maxReadOffset = -1;
+  for (const Hit& h : hits)
+    if (h.roff > maxReadOffset) maxReadOffset = h.roff;
+  std::vector<int> offsetBest(maxReadOffset + 1, 0);
+
+  struct DiagSeed {
+    int32_t a, b, c;
+  };
+  std::vector<DiagSeed> diag;
+  std::vector<Seed> concordant, lis;
+
+  int i = 0;
+  while (i < n) {
+    int j = i + 1;
+    while (j < n && hits[j].strand == hits[i].strand && hits[j].seq == hits[i].seq)
+      ++j;
+    if (j - i < minHitRequired) {
+      i = j;
+      continue;
+    }
+    diag.clear();
+    for (int t = i; t < j; ++t)
+      diag.push_back({hits[t].roff, hits[t].soff, hits[t].roff - hits[t].soff});
+    std::sort(diag.begin(), diag.end(), [](const DiagSeed& x, const DiagSeed& y) {
+      if (x.c != y.c) return x.c < y.c;
+      if (x.b != y.b) return x.b < y.b;
+      return x.a < y.a;
+    });
+
+    int dominantDiff = 0;
+    int s = 0;
+    const int adjustRadius = eng.radius;
+    while (s < (int)diag.size()) {
+      int currDiff = diag[s].c, currCnt = 1, domCnt = 0;
+      offsetBest[diag[s].a] = -1;
+      int e = s + 1;
+      for (; e < (int)diag.size(); ++e) {
+        int d = diag[e].c - diag[e - 1].c;
+        if (d < 0) d = -d;
+        if (d > adjustRadius) break;
+        if (d == 0) {
+          ++currCnt;
+        } else {
+          if (currCnt > domCnt) {
+            dominantDiff = currDiff;
+            domCnt = currCnt;
+          }
+          currDiff = diag[e].c;
+          currCnt = 1;
+        }
+        offsetBest[diag[e].a] = -1;
+      }
+      if (currCnt > domCnt) dominantDiff = currDiff;
+
+      if (e - s < minHitRequired || (e - s) * k < hitLenRequired) {
+        s = e;
+        continue;
+      }
+
+      concordant.clear();
+      for (int t = s; t < e; ++t) concordant.push_back({diag[t].a, diag[t].b});
+
+      if (adjustRadius > 0) {
+        for (const Seed& sd : concordant) {
+          int d = sd.a - sd.b - dominantDiff;
+          if (d < 0) d = -d;
+          if (offsetBest[sd.a] == -1 || offsetBest[sd.a] > d) offsetBest[sd.a] = d;
+        }
+        int l = 0;
+        for (int t = 0; t < (int)concordant.size(); ++t) {
+          int d = concordant[t].a - concordant[t].b - dominantDiff;
+          if (d < 0) d = -d;
+          if (d == offsetBest[concordant[t].a]) concordant[l++] = concordant[t];
+        }
+        concordant.resize(l);
+        std::sort(concordant.begin(), concordant.end(), [](const Seed& x, const Seed& y) {
+          if (x.b != y.b) return x.b < y.b;
+          return x.a < y.a;
+        });
+      }
+
+      ChainLIS(concordant, &lis);
+      if ((int)lis.size() * k < hitLenRequired) {
+        s = e;
+        continue;
+      }
+      int hitLen = TotalSpan(lis, true, k);
+      if (hitLen < hitLenRequired || TotalSpan(lis, false, k) < hitLenRequired) {
+        s = e;
+        continue;
+      }
+
+      Overlap o;
+      o.seq = hits[i].seq;
+      o.strand = hits[i].strand;
+      o.readStart = lis.front().a;
+      o.readEnd = lis.back().a + k - 1;
+      o.seqStart = lis.front().b;
+      o.seqEnd = lis.back().b + k - 1;
+      o.matchCnt = 2 * hitLen;
+      o.similarity = 0;
+      overlaps->push_back(o);
+      overlapSeeds->push_back(lis);
+      s = e;
+    }
+    i = j;
+  }
+}
+
+// Low-complexity filter on the aligned read span
+// (reference SeqSet.hpp:458-485).
+static bool SpanLowComplexity(const int8_t* r, int start, int end) {
+  int cnt[4] = {0, 0, 0, 0};
+  for (int i = start; i <= end; ++i)
+    if (r[i] < 4) ++cnt[r[i]];
+  int lowCnt = 0, lowTotal = 0;
+  for (int i = 0; i < 4; ++i)
+    if (cnt[i] <= 2) {
+      ++lowCnt;
+      lowTotal += cnt[i];
+    }
+  if (lowTotal * 7 >= end - start + 1) return false;
+  return lowCnt >= 2;
+}
+
+// Walk consecutive LIS seeds and accumulate the exact match count: perfect
+// diagonal continuations count positionally, gaps are closed with the
+// banded DP (SeqSet.hpp:1594-1912).
+static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
+                          int len, std::vector<Overlap>* overlaps,
+                          std::vector<std::vector<Seed>>* overlapSeeds) {
+  const int k = eng.index.k();
+  int cnt = (int)overlaps->size();
+  if (cnt == 0) return;
+
+  // Keep only overlaps on the strand of the preliminary best.
+  int best = 0;
+  for (int i = 1; i < cnt; ++i)
+    if (OverlapRankLess((*overlaps)[i], (*overlaps)[best])) best = i;
+  int w = 0;
+  for (int i = 0; i < cnt; ++i) {
+    if ((*overlaps)[i].strand != (*overlaps)[best].strand) continue;
+    (*overlaps)[w] = (*overlaps)[i];
+    (*overlapSeeds)[w] = (*overlapSeeds)[i];
+    ++w;
+  }
+  overlaps->resize(w);
+  overlapSeeds->resize(w);
+  cnt = w;
+
+  std::vector<int8_t> edits;
+  for (int i = 0; i < cnt; ++i) {
+    Overlap& o = (*overlaps)[i];
+    const std::vector<Seed>& seeds = (*overlapSeeds)[i];
+    const int8_t* r = o.strand == 1 ? read : rcRead;
+    const int8_t* seq = eng.Seq(o.seq);
+    int matchCnt = 2 * k;
+    int mismatchCnt = 0, indelCnt = 0;
+    double ok = 1;
+    for (size_t j = 1; j < seeds.size(); ++j) {
+      const Seed& prev = seeds[j - 1];
+      const Seed& cur = seeds[j];
+      if (prev.b - prev.a == cur.b - cur.a) {
+        if (prev.a + k - 1 >= cur.a) {
+          matchCnt += 2 * (cur.a - prev.a);
+        } else {
+          matchCnt += 2 * k;
+          int score = BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
+                                        r + prev.a + k, cur.a - (prev.a + k), 5,
+                                        &edits, &eng.scratch);
+          (void)score;
+          EditStats st = CountEdits(edits);
+          matchCnt += 2 * st.match;
+          mismatchCnt += st.mismatch;
+          indelCnt += st.indel;
+        }
+      } else {
+        bool readOv = prev.a + k - 1 >= cur.a;
+        bool seqOv = prev.b + k - 1 >= cur.b;
+        if (readOv && !seqOv) {
+          matchCnt += 2 * (cur.a - prev.a);
+          indelCnt += (cur.b - (prev.b + k)) + (cur.a + k - prev.a);
+        } else if (!readOv && seqOv) {
+          matchCnt += 2 * (cur.b - prev.b);
+          indelCnt += (cur.a - (prev.a + k)) + (cur.b + k - prev.b);
+        } else if (readOv && seqOv) {
+          int da = cur.a - prev.a, db = cur.b - prev.b;
+          matchCnt += 2 * (da < db ? da : db);
+          int d = (cur.a - cur.b) - (prev.a - prev.b);
+          indelCnt += d < 0 ? -d : d;
+        } else {
+          matchCnt += 2 * k;
+          BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
+                            r + prev.a + k, cur.a - (prev.a + k), 5, &edits,
+                            &eng.scratch);
+          EditStats st = CountEdits(edits);
+          matchCnt += 2 * st.match;
+          mismatchCnt += st.mismatch;
+          indelCnt += st.indel;
+        }
+      }
+    }
+    o.matchCnt = matchCnt;
+    o.similarity =
+        ok == 1 ? (double)matchCnt / (o.seqEnd - o.seqStart + 1 + o.readEnd - o.readStart + 1)
+                : 0.0;
+    if (SpanLowComplexity(r, o.readStart, o.readEnd)) o.similarity = 0;
+  }
+
+  // Final similarity filter (reference refSeqSimilarity, SeqSet.hpp:1893-1908).
+  w = 0;
+  for (int i = 0; i < cnt; ++i) {
+    if ((*overlaps)[i].similarity < eng.refSim) continue;
+    (*overlaps)[w] = (*overlaps)[i];
+    (*overlapSeeds)[w] = (*overlapSeeds)[i];
+    ++w;
+  }
+  overlaps->resize(w);
+  overlapSeeds->resize(w);
+}
+
+// Extend an overlap to cover the read ends, clipping at reference 'N'
+// separators and at reference boundaries (SeqSet.hpp:1994-2099).
+// Returns whether the extension passes the similarity floor.
+static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& o,
+                          Overlap* out) {
+  const int8_t* seq = eng.Seq(o.seq);
+  int seqLen = eng.SeqLen(o.seq);
+  std::vector<int8_t> edits;
+
+  int leftOver = std::min(o.readStart, o.seqStart);
+  int leftClip = 0, rightClip = 0;
+  if (o.readStart > o.seqStart) leftClip = o.readStart - o.seqStart;
+  for (int i = 0; i < leftOver; ++i) {
+    if (seq[o.seqStart - i - 1] == 4) {
+      leftClip = leftOver - i;
+      leftOver = i;
+      break;
+    }
+  }
+  BandedGlobalAlign(seq + o.seqStart - leftOver, leftOver, r + o.readStart - leftOver,
+                    leftOver, 5, &edits, &eng.scratch);
+  EditStats st = CountEdits(edits);
+  int matchCnt = st.match;
+
+  int rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
+  if (len - 1 - o.readEnd > seqLen - 1 - o.seqEnd)
+    rightClip = (len - 1 - o.readEnd) - (seqLen - 1 - o.seqEnd);
+  for (int i = 0; i < rightOver; ++i) {
+    if (seq[o.seqEnd + 1 + i] == 4) {
+      rightClip = rightOver - i;
+      rightOver = i;
+      break;
+    }
+  }
+  BandedGlobalAlign(seq + o.seqEnd + 1, rightOver, r + o.readEnd + 1, rightOver, 5,
+                    &edits, &eng.scratch);
+  st = CountEdits(edits);
+  matchCnt += st.match;
+
+  out->seq = o.seq;
+  out->readStart = o.readStart - leftOver;
+  out->readEnd = o.readEnd + rightOver;
+  out->seqStart = o.seqStart - leftOver;
+  out->seqEnd = o.seqEnd + rightOver;
+  out->strand = o.strand;
+  out->matchCnt = 2 * matchCnt + o.matchCnt;
+  out->similarity = (double)out->matchCnt /
+                    (out->readEnd - out->readStart + 1 + out->seqEnd - out->seqStart + 1);
+  out->relaxedMatchCnt = out->matchCnt;
+  out->leftClip = leftClip;
+  out->rightClip = rightClip;
+  bool pass = out->similarity >= eng.refSim;
+  if (leftClip > 0 || rightClip > 0) {
+    out->matchCnt += 2 * leftClip + 2 * rightClip;
+    out->similarity = (double)out->matchCnt /
+                      (out->readEnd - out->readStart + 1 + out->seqEnd - out->seqStart + 1 +
+                       2 * leftClip + 2 * rightClip);
+  }
+  return pass;
+}
+
+// Full read-end assignment (reference SeqSet.hpp:2119-2303).
+static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
+                       std::vector<Overlap>* out) {
+  out->clear();
+  const int k = eng.index.k();
+  if (len < k || eng.nSeqs == 0) return;
+
+  std::vector<int8_t> rc(len);
+  for (int i = 0; i < len; ++i) {
+    int8_t c = read[len - 1 - i];
+    rc[i] = c < 4 ? 3 - c : 4;
+  }
+
+  std::vector<Hit> hits;
+  CollectHits(eng, read, len, rc.data(), 0, &hits);
+  std::sort(hits.begin(), hits.end(), HitOrderLess);
+
+  std::vector<Overlap> overlaps;
+  std::vector<std::vector<Seed>> seeds;
+  BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
+  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds);
+  if (overlaps.empty()) return;
+
+  std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
+  const int8_t* r = overlaps[0].strand == 1 ? read : rc.data();
+
+  std::vector<Overlap>& ext = *out;
+  bool onlyConsiderClip = false;
+  int goodMatchCnt = -1;
+  for (const Overlap& o : overlaps) {
+    if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
+    bool needClip = eng.SeparatorInRange(o.seqStart - o.readStart,
+                                         o.seqEnd + (len - o.readEnd - 1), o.seq);
+    if (onlyConsiderClip && o.matchCnt < goodMatchCnt &&
+        (!needClip || o.similarity < 0.95))
+      continue;
+    Overlap e;
+    if (ExtendOverlap(eng, r, len, o, &e)) {
+      ext.push_back(e);
+      if (!onlyConsiderClip && (goodMatchCnt == -1 || o.matchCnt > goodMatchCnt))
+        goodMatchCnt = o.matchCnt;
+    } else {
+      onlyConsiderClip = true;
+    }
+  }
+
+  if (!ext.empty() && weight >= 0) {
+    // Full-span alignment for near-best candidates: exon-relaxed match
+    // recount and per-base coverage scatter (SeqSet.hpp:2188-2285).
+    int bestIdx = 0;
+    for (int i = 1; i < (int)ext.size(); ++i)
+      if (OverlapRankLess(ext[i], ext[bestIdx])) bestIdx = i;
+    int bestMatch = ext[bestIdx].matchCnt;
+    std::vector<int8_t> edits;
+    for (Overlap& e : ext) {
+      if (e.matchCnt < bestMatch - 10) {
+        e.relaxedMatchCnt = 0;
+        continue;
+      }
+      const int8_t* seq = eng.Seq(e.seq);
+      BandedGlobalAlign(seq + e.seqStart, e.seqEnd - e.seqStart + 1, r + e.readStart,
+                        e.readEnd - e.readStart + 1, 5, &edits, &eng.scratch);
+      const uint8_t* exon = eng.exonMask + eng.SeqStart(e.seq);
+      const int seqLenClamp = eng.SeqLen(e.seq) - 1;
+      if (eng.relaxIntron) {
+        int match = 0;
+        int refPos = e.seqStart;
+        for (int8_t op : edits) {
+          // clamp guards a trailing-insert edge the reference reads OOB on
+          if (exon[refPos <= seqLenClamp ? refPos : seqLenClamp]) {
+            if (op == kEditMatch) ++match;
+          } else {
+            ++match;
+          }
+          if (op != kEditInsert) ++refPos;
+        }
+        e.relaxedMatchCnt = 2 * match;
+      } else {
+        e.relaxedMatchCnt = e.matchCnt;
+      }
+      if (weight > 0) {
+        int refPos = e.seqStart, readPos = e.readStart;
+        int32_t* pw = eng.posWeight.data() + 4 * eng.SeqStart(e.seq);
+        for (int8_t op : edits) {
+          if (op == kEditMatch && r[readPos] < 4)
+            pw[4 * refPos + r[readPos]] += weight;
+          if (op != kEditInsert) ++refPos;
+          if (op != kEditDelete) ++readPos;
+        }
+      }
+    }
+  }
+
+  if (ext.size() > 1000) {
+    std::sort(ext.begin(), ext.end(), OverlapRankLess);
+    size_t j = 1;
+    while (j < ext.size() && ext[j].similarity >= ext[0].similarity - 0.1) ++j;
+    ext.resize(j);
+  }
+}
+
+// Candidate screen used by the extractor: best (strand, seq) hit bucket,
+// chained, then tested against the read-level mismatch budget
+// (SeqSet.hpp:1915-1990).
+static bool HasHitInSet(Engine& eng, const int8_t* read, int len) {
+  const int k = eng.index.k();
+  if (len < k) return false;
+  std::vector<int8_t> rc(len);
+  for (int i = 0; i < len; ++i) {
+    int8_t c = read[len - 1 - i];
+    rc[i] = c < 4 ? 3 - c : 4;
+  }
+  std::vector<Hit> hits;
+  CollectHits(eng, read, len, rc.data(), 0, &hits);
+  if (hits.empty()) return false;
+
+  // Best bucket = (strand, seq) with the most hits; strand -1 scans first.
+  std::sort(hits.begin(), hits.end(), HitOrderLess);
+  int bestStart = -1, bestLen = 0;
+  int i = 0, n = (int)hits.size();
+  while (i < n) {
+    int j = i + 1;
+    while (j < n && hits[j].strand == hits[i].strand && hits[j].seq == hits[i].seq)
+      ++j;
+    if (j - i > bestLen) {
+      bestLen = j - i;
+      bestStart = i;
+    }
+    i = j;
+  }
+  if (k * bestLen < eng.hitLenRequired) return false;
+
+  std::vector<Hit> bucket(hits.begin() + bestStart, hits.begin() + bestStart + bestLen);
+  std::vector<Overlap> overlaps;
+  std::vector<std::vector<Seed>> seeds;
+  BuildOverlaps(eng, bucket, eng.hitLenRequired, &overlaps, &seeds);
+  int mismatchBudget = (int)(len * (1 - eng.refSim)) * k;
+  for (const Overlap& o : overlaps)
+    if (len - o.matchCnt / 2 <= mismatchBudget) return true;
+  return false;
+}
+
+}  // namespace t1k
+
+// ----------------------------------------------------------------- C ABI
+extern "C" {
+
+void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
+                        const int32_t* seq_lens, const uint8_t* exon_mask,
+                        int32_t n_seqs, int64_t total_len, int32_t kmer_length,
+                        double ref_seq_similarity, int32_t hit_len_required,
+                        int32_t relax_intron_align) {
+  auto* eng = new t1k::Engine(kmer_length);
+  eng->ownedCodes.assign(seq_codes, seq_codes + total_len);
+  eng->ownedExon.assign(exon_mask, exon_mask + total_len);
+  eng->codes = eng->ownedCodes.data();
+  eng->exonMask = eng->ownedExon.data();
+  eng->starts.assign(seq_starts, seq_starts + n_seqs);
+  eng->lens.assign(seq_lens, seq_lens + n_seqs);
+  eng->nSeqs = n_seqs;
+  eng->refSim = ref_seq_similarity;
+  eng->hitLenRequired = hit_len_required;
+  eng->relaxIntron = relax_intron_align != 0;
+  eng->posWeight.assign((size_t)total_len * 4, 0);
+  eng->separators.resize(n_seqs);
+  for (int s = 0; s < n_seqs; ++s) {
+    const int8_t* sc = eng->Seq(s);
+    for (int i = 0; i < eng->lens[s]; ++i)
+      if (sc[i] == 4) eng->separators[s].push_back(i);
+    eng->index.AddSequence(sc, eng->lens[s], s);
+  }
+  return eng;
+}
+
+void t1k_engine_destroy(void* e) { delete static_cast<t1k::Engine*>(e); }
+
+void t1k_engine_set_hit_len(void* e, int32_t h) {
+  static_cast<t1k::Engine*>(e)->hitLenRequired = h;
+}
+
+// Assign a batch of (unique) reads.  Each result record is 11 doubles:
+// [seqIdx, readStart, readEnd, seqStart, seqEnd, strand, matchCnt,
+//  relaxedMatchCnt, similarity, leftClip, rightClip].
+// Returns total record count; use the getter functions to copy results out.
+int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
+                         const int64_t* read_starts, const int32_t* read_lens,
+                         const int32_t* weights, int64_t n_reads) {
+  auto& eng = *static_cast<t1k::Engine*>(ep);
+  eng.results.clear();
+  eng.resultOffsets.clear();
+  eng.resultOffsets.reserve(n_reads + 1);
+  eng.resultOffsets.push_back(0);
+  std::vector<t1k::Overlap> assign;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i], weights[i],
+                    &assign);
+    for (const t1k::Overlap& o : assign) {
+      double rec[11] = {(double)o.seq,        (double)o.readStart,
+                        (double)o.readEnd,    (double)o.seqStart,
+                        (double)o.seqEnd,     (double)o.strand,
+                        (double)o.matchCnt,   (double)o.relaxedMatchCnt,
+                        o.similarity,         (double)o.leftClip,
+                        (double)o.rightClip};
+      eng.results.insert(eng.results.end(), rec, rec + 11);
+    }
+    eng.resultOffsets.push_back((int64_t)(eng.results.size() / 11));
+  }
+  return (int64_t)(eng.results.size() / 11);
+}
+
+const double* t1k_get_results(void* ep) {
+  return static_cast<t1k::Engine*>(ep)->results.data();
+}
+
+const int64_t* t1k_get_result_offsets(void* ep) {
+  return static_cast<t1k::Engine*>(ep)->resultOffsets.data();
+}
+
+const int32_t* t1k_get_pos_weight(void* ep) {
+  return static_cast<t1k::Engine*>(ep)->posWeight.data();
+}
+
+// Extractor screen for a read batch; writes 0/1 flags.
+void t1k_screen_batch(void* ep, const int8_t* read_codes,
+                      const int64_t* read_starts, const int32_t* read_lens,
+                      int64_t n_reads, uint8_t* out_flags) {
+  auto& eng = *static_cast<t1k::Engine*>(ep);
+  for (int64_t i = 0; i < n_reads; ++i)
+    out_flags[i] =
+        t1k::HasHitInSet(eng, read_codes + read_starts[i], read_lens[i]) ? 1 : 0;
+}
+
+// Standalone banded global alignment; returns score, writes the edit walk
+// (codes 0..3) terminated with -1 into align_out (capacity lent+lenp+1).
+int32_t t1k_align_global(const int8_t* t, int32_t lent, const int8_t* p,
+                         int32_t lenp, int32_t band, int8_t* align_out) {
+  t1k::AlignScratch scr;
+  std::vector<int8_t> edits;
+  int score = t1k::BandedGlobalAlign(t, lent, p, lenp, band, &edits, &scr);
+  std::memcpy(align_out, edits.data(), edits.size());
+  align_out[edits.size()] = -1;
+  return score;
+}
+
+}  // extern "C"

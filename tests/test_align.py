@@ -1,0 +1,55 @@
+"""Banded affine aligner parity: native engine vs reference golden data.
+
+Goldens were produced by running the reference implementation's
+GlobalAlignment (AlignAlgo.hpp:215) over randomized sequence pairs; both
+the score and the full edit walk (traceback tie-breaking) must match.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from t1k_tpu.constants import encode_seq
+from t1k_tpu.native import align_global
+from tests.conftest import GOLDEN_DIR
+
+
+def load_golden():
+    cases = []
+    with open(os.path.join(GOLDEN_DIR, "align_global.tsv")) as f:
+        for line in f:
+            lent, lenp, t, p, score, edits = line.rstrip("\n").split("\t")
+            t = "" if t == "-" else t
+            p = "" if p == "-" else p
+            cases.append((int(lent), int(lenp), t, p, int(score), edits))
+    return cases
+
+
+GOLDEN = load_golden()
+
+
+def test_golden_count():
+    assert len(GOLDEN) >= 100
+
+
+def test_align_global_scores_and_edits():
+    mismatches = []
+    for lent, lenp, t, p, want_score, want_edits in GOLDEN:
+        score, edits = align_global(encode_seq(t), encode_seq(p))
+        got_edits = "".join(str(int(e)) for e in edits)
+        if score != want_score or got_edits != want_edits:
+            mismatches.append((t, p, want_score, score, want_edits, got_edits))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+def test_align_empty_and_single():
+    score, edits = align_global(encode_seq(""), encode_seq("ACGT"))
+    assert score == 0 and len(edits) == 0
+    score, edits = align_global(encode_seq("A"), encode_seq("A"))
+    assert score == 2 and list(edits) == [0]
+    score, edits = align_global(encode_seq("A"), encode_seq("C"))
+    assert score == -2 and list(edits) == [1]
+    # N matches anything in the single-base case
+    score, edits = align_global(encode_seq("N"), encode_seq("C"))
+    assert score == 2 and list(edits) == [0]
