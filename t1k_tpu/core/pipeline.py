@@ -1,0 +1,252 @@
+"""End-to-end genotyping pipeline (the reference `genotyper` stage).
+
+Flow (reference Genotyper.cpp:194-738):
+  load reference -> read fastq (both mates into one pool) -> sort by
+  sequence so duplicate reads share one alignment -> read-end assignment
+  (native engine or device backend) -> mate pairing / fragment assignment
+  -> coalesce identical assignment vectors -> equivalence classes -> EM ->
+  allele selection -> outputs (genotype.tsv, allele.tsv, aligned fastas).
+"""
+
+from __future__ import annotations
+
+import time
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    DEFAULT_MAX_ASSIGN_CNT,
+    DEFAULT_REF_SEQ_SIMILARITY,
+    GENOTYPER_KMER_LENGTH,
+    encode_seq,
+)
+from ..io.reads import read_seq_files
+from ..io.refset import RefSet
+from .fragment import OverlapRec, RefContext, fragment_assign, set_read_assignments
+from .genotyper import Genotyper, GenotyperConfig
+
+
+def log(msg: str) -> None:
+    ts = time.strftime("%a %b %d %H:%M:%S %Y")
+    print(f"[{ts}] {msg}", file=sys.stderr)
+
+
+@dataclass
+class GenotypeOptions:
+    ref_seq_similarity: float = DEFAULT_REF_SEQ_SIMILARITY
+    relax_intron_align: bool = False
+    max_assign_cnt: int = DEFAULT_MAX_ASSIGN_CNT
+    filter_frac: float = 0.15
+    filter_cov: float = 1.0
+    cross_gene_rate: float = 0.04
+    min_squarem_alpha: float = 0.0
+    digit_units: int = -1
+    delimiter: str = ""
+    allele_whitelist: Optional[str] = None
+    abundance_file: Optional[str] = None
+    barcode_file: Optional[str] = None
+    output_read_assignment: bool = False
+    threads: int = 1
+    backend: str = "native"  # alignment backend: "native" or "tpu"
+    em_backend: str = "native"
+
+
+@dataclass
+class GenotypeResult:
+    genotyper: Genotyper
+    refset: RefSet
+    aligned_flags: List[bool]
+    read_ids1: List[str]
+    read_ids2: List[str]
+    read_seqs1: List[str]
+    read_seqs2: List[str]
+    barcodes: Optional[List[str]]
+    em_iterations: int
+    aligned_fragment_cnt: int
+    fragment_assignments: Optional[List] = None  # used by the analyzer stage
+
+
+def assign_unique_reads(engine, seqs: List[str]) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Group identical read sequences; run the engine once per unique
+    sequence with the group size as the coverage weight
+    (Genotyper.cpp:450-479)."""
+    order = sorted(range(len(seqs)), key=lambda i: seqs[i])
+    uniq: List[str] = []
+    weights: List[int] = []
+    group_of = np.zeros(len(seqs), dtype=np.int64)
+    i = 0
+    while i < len(order):
+        j = i + 1
+        while j < len(order) and seqs[order[j]] == seqs[order[i]]:
+            j += 1
+        for k in range(i, j):
+            group_of[order[k]] = len(uniq)
+        uniq.append(seqs[order[i]])
+        weights.append(j - i)
+        i = j
+
+    if uniq:
+        codes = np.concatenate([encode_seq(s) for s in uniq])
+    else:
+        codes = np.zeros(0, dtype=np.int8)
+    lens = np.array([len(s) for s in uniq], dtype=np.int32)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens):
+        starts[1:] = np.cumsum(lens[:-1])
+    rec, off = engine.assign_batch(codes, starts, lens, np.array(weights, dtype=np.int32))
+    return uniq, group_of, rec, off
+
+
+def overlap_lists_from_records(rec: np.ndarray, off: np.ndarray) -> List[List[OverlapRec]]:
+    out = []
+    for i in range(len(off) - 1):
+        out.append([OverlapRec.from_row(rec[k]) for k in range(off[i], off[i + 1])])
+    return out
+
+
+def run_genotyper(
+    ref_fasta: str,
+    reads1: List[str],
+    reads2: Optional[List[str]],
+    output_prefix: str,
+    opts: Optional[GenotypeOptions] = None,
+    refset: Optional[RefSet] = None,
+) -> GenotypeResult:
+    opts = opts or GenotypeOptions()
+    if refset is None:
+        refset = RefSet.from_fasta(ref_fasta, opts.digit_units, opts.delimiter)
+    packed = refset.packed()
+
+    from ..native import NativeEngine
+    engine = NativeEngine(
+        packed, GENOTYPER_KMER_LENGTH,
+        ref_seq_similarity=opts.ref_seq_similarity,
+        relax_intron_align=opts.relax_intron_align,
+    )
+
+    has_mate = reads2 is not None
+
+    # Ingest reads (+ optional per-read barcodes).
+    ids1, seqs1, quals1 = [], [], []
+    ids2, seqs2, quals2 = [], [], []
+    barcodes: Optional[List[str]] = [] if opts.barcode_file else None
+    bc_iter = iter(read_seq_files([opts.barcode_file])) if opts.barcode_file else None
+    it1 = read_seq_files(reads1)
+    it2 = read_seq_files(reads2) if has_mate else None
+    for rec1 in it1:
+        rec2 = next(it2) if has_mate else None
+        if bc_iter is not None:
+            bc = next(bc_iter)
+            if bc.seq == "missing_barcode":
+                continue
+            barcodes.append(bc.seq)
+        ids1.append(rec1.id)
+        seqs1.append(rec1.seq)
+        quals1.append(rec1.qual)
+        if has_mate:
+            ids2.append(rec2.id)
+            seqs2.append(rec2.seq)
+            quals2.append(rec2.qual)
+
+    read_cnt = len(seqs1)
+    max_read_length = 0
+    for s in seqs1:
+        max_read_length = max(max_read_length, len(s))
+    for s in seqs2:
+        max_read_length = max(max_read_length, len(s))
+
+    gcfg = GenotyperConfig(
+        filter_frac=opts.filter_frac, filter_cov=opts.filter_cov,
+        cross_gene_rate=opts.cross_gene_rate,
+        max_assign_cnt=opts.max_assign_cnt,
+        min_squarem_alpha=opts.min_squarem_alpha,
+        read_length=max_read_length, em_backend=opts.em_backend,
+    )
+    genotyper = Genotyper(refset, gcfg)
+    if opts.allele_whitelist:
+        with open(opts.allele_whitelist) as f:
+            genotyper.set_allele_whitelist(f.read().split())
+    whitelist = genotyper.whitelist if opts.allele_whitelist else None
+
+    log(f"Found {read_cnt} read fragments. Start read assignment.")
+    all_seqs = seqs1 + seqs2
+    uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs)
+    overlap_lists = overlap_lists_from_records(rec, off)
+    log("Finish read end assignments.")
+
+    ctx = RefContext(refset, hit_len_required=31,
+                     relax_intron_align=opts.relax_intron_align,
+                     ref_seq_similarity=opts.ref_seq_similarity)
+
+    has_n1 = [("N" in s) for s in seqs1]
+    has_n2 = [("N" in s) for s in seqs2]
+
+    aligned_flags = [False] * read_cnt
+    assign_rows = [] if opts.output_read_assignment else None
+    aligned_fragment_cnt = 0
+    per_read_assignments = []
+    for i in range(read_cnt):
+        ov1 = overlap_lists[group_of[i]]
+        ov2 = overlap_lists[group_of[read_cnt + i]] if has_mate else None
+        has_n = has_n1[i] or (has_mate and has_n2[i])
+        frags = fragment_assign(ctx, ov1, ov2, has_n, has_mate)
+        ra = set_read_assignments(ctx, frags, whitelist, opts.max_assign_cnt)
+        per_read_assignments.append(ra)
+        if assign_rows is not None:
+            for a in ra:
+                assign_rows.append(
+                    f"{ids1[i]}\t{refset.alleles[a.allele_idx].name}\t{a.start}\t{a.end}")
+        if frags:
+            aligned_flags[i] = True
+
+    aligned_fragment_cnt = genotyper.coalesce(per_read_assignments)
+    pos_weight = engine.pos_weight()
+    genotyper.finalize(pos_weight, packed)
+    log(f"Finish read fragment assignments. {aligned_fragment_cnt} read fragments "
+        f"can be assigned.")
+
+    if opts.abundance_file:
+        genotyper.init_abundance_from_file(opts.abundance_file)
+        em_iters = 0
+    else:
+        em_iters = genotyper.quantify()
+        log(f"Finish allele quantification in {em_iters} EM iterations.")
+    genotyper.remove_low_likelihood()
+    genotyper.select_alleles()
+
+    # ------------------------------------------------------------ outputs
+    genotyper.write_genotype_tsv(f"{output_prefix}_genotype.tsv")
+    with open(f"{output_prefix}_allele.tsv", "w") as f:
+        for name, qual in genotyper.representative_alleles():
+            f.write(f"{name} {qual}\n")
+
+    suffix1 = "_aligned_1.fa" if has_mate else "_aligned.fa"
+    with open(f"{output_prefix}{suffix1}", "w") as f:
+        for i in range(read_cnt):
+            if aligned_flags[i]:
+                f.write(f">{ids1[i]}\n{seqs1[i]}\n")
+    if has_mate:
+        with open(f"{output_prefix}_aligned_2.fa", "w") as f:
+            for i in range(read_cnt):
+                if aligned_flags[i]:
+                    f.write(f">{ids2[i]}\n{seqs2[i]}\n")
+    if barcodes is not None:
+        with open(f"{output_prefix}_aligned_bc.fa", "w") as f:
+            for i in range(read_cnt):
+                if aligned_flags[i]:
+                    f.write(f">{ids1[i]}\n{barcodes[i]}\n")
+    if assign_rows is not None:
+        with open(f"{output_prefix}_assign.tsv", "w") as f:
+            for row in assign_rows:
+                f.write(row + "\n")
+
+    log("Genotyping finishes.")
+    return GenotypeResult(
+        genotyper=genotyper, refset=refset, aligned_flags=aligned_flags,
+        read_ids1=ids1, read_ids2=ids2, read_seqs1=seqs1, read_seqs2=seqs2,
+        barcodes=barcodes, em_iterations=em_iters,
+        aligned_fragment_cnt=aligned_fragment_cnt,
+    )

@@ -1,0 +1,138 @@
+"""Regenerate golden outputs for the end-to-end pipeline tests.
+
+Requires the reference T1K binaries (built from the upstream C++ release)
+at $T1K_REFERENCE_BIN and the bundled cyp2d6 database at
+$T1K_CYP2D6_IDX (defaults target the standard evaluation layout).
+Goldens are stored in tests/golden/ as small text files; the simulated
+reads are regenerated deterministically by the tests themselves.
+
+Usage:  python tests/make_goldens.py
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from t1k_tpu.io.reads import read_seq_file, write_fastq, write_fasta, SeqRecord  # noqa: E402
+from t1k_tpu.tools.simulate import SimConfig, simulate_pairs  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+REF_BIN = os.environ.get("T1K_REFERENCE_BIN", "/tmp/t1k-ref")
+CYP_IDX = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx")
+
+
+def build_multigene_reference() -> str:
+    """Synthesize a 3-gene RNA database from cyp2d6 alleles: per gene a
+    deterministic set of substitutions is applied to every allele, so
+    within-gene variation stays tiny while genes are ~97% similar."""
+    import numpy as np
+
+    src = [r for r in read_seq_file(os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa"))]
+    src = src[:40]
+    out = []
+    rng = np.random.default_rng(99)
+    for gi, gene in enumerate(["GENA", "GENB", "GENC"]):
+        n_mut = 0 if gi == 0 else 40 * gi
+        # mutation positions/values shared by all alleles of the gene
+        pos = rng.integers(0, 1000, size=n_mut)
+        sub = rng.integers(1, 4, size=n_mut)
+        for ai, rec in enumerate(src):
+            seq = list(rec.seq)
+            for p, s in zip(pos, sub):
+                if p < len(seq) and seq[p] in "ACGT":
+                    seq[p] = "ACGT"[("ACGT".index(seq[p]) + s) % 4]
+            allele = rec.id.split("*")[1]
+            name = f"{gene}*{allele}"
+            out.append(SeqRecord(name, "".join(seq), None, rec.comment))
+    path = os.path.join(DATA, "multigene_rna.fa")
+    with open(path, "w") as f:
+        for r in out:
+            f.write(f">{r.id} {r.comment}\n{r.seq}\n")
+    return path
+
+
+CASES = {
+    "rna": dict(
+        ref=os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa"),
+        alleles=["CYP2D6*1", "CYP2D6*4"], abund=[1.0, 0.8],
+        n=300, seed=17, paired=True, args=[],
+    ),
+    "dna": dict(
+        ref=os.path.join(CYP_IDX, "cyp2d6_dna_seq.fa"),
+        alleles=["CYP2D6*1", "CYP2D6*4", "CYP2D6*2"], abund=[1.0, 0.8, 0.5],
+        n=400, seed=23, paired=True, args=["-s", "0.9", "--relaxIntronAlign"],
+    ),
+    "rna_single": dict(
+        ref=os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa"),
+        alleles=["CYP2D6*1", "CYP2D6*4"], abund=[1.0, 0.8],
+        n=300, seed=31, paired=False, args=[],
+    ),
+    "multigene": dict(
+        ref="MULTIGENE",
+        alleles=["GENA*83", "GENA*50", "GENB*15.001", "GENB*129.001", "GENC*4.006"],
+        abund=[1.0, 0.9, 0.8, 0.7, 0.6],
+        n=600, seed=41, paired=True, args=[],
+    ),
+}
+
+
+def simulate_case(name: str, case: dict, ref_path: str):
+    by_name = {r.id: r for r in read_seq_file(ref_path)}
+    chosen = [by_name[a] for a in case["alleles"]]
+    cfg = SimConfig(n_pairs=case["n"], seed=case["seed"])
+    r1, r2 = simulate_pairs(chosen, case["abund"], cfg)
+    p1 = os.path.join(DATA, f"{name}_1.fq")
+    p2 = os.path.join(DATA, f"{name}_2.fq")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    return p1, p2
+
+
+def sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()
+
+
+def main():
+    os.makedirs(GOLDEN, exist_ok=True)
+    os.makedirs(DATA, exist_ok=True)
+    mg = build_multigene_reference()
+    for name, case in CASES.items():
+        ref = mg if case["ref"] == "MULTIGENE" else case["ref"]
+        p1, p2 = simulate_case(name, case, ref)
+        prefix = os.path.join("/tmp", f"golden_{name}")
+        cmd = [os.path.join(REF_BIN, "genotyper"), "-f", ref,
+               "-o", prefix, "--outputReadAssignment"] + case["args"]
+        if case["paired"]:
+            cmd += ["-1", p1, "-2", p2]
+        else:
+            cmd += ["-u", p1]
+        subprocess.run(cmd, check=True, capture_output=True)
+        for suffix in ("_genotype.tsv", "_allele.tsv"):
+            with open(prefix + suffix) as f:
+                content = f.read()
+            with open(os.path.join(GOLDEN, name + suffix), "w") as f:
+                f.write(content)
+        # large outputs: store digests of sorted content
+        digests = {}
+        for suffix in ("_assign.tsv",):
+            with open(prefix + suffix) as f:
+                lines = sorted(f.readlines())
+            digests[suffix] = hashlib.sha256("".join(lines).encode()).hexdigest()
+        aligned = prefix + ("_aligned_1.fa" if case["paired"] else "_aligned.fa")
+        digests["_aligned.fa"] = sha256(aligned)
+        with open(os.path.join(GOLDEN, name + "_digests.txt"), "w") as f:
+            for k, v in sorted(digests.items()):
+                f.write(f"{k}\t{v}\n")
+        print(f"{name}: done")
+
+
+if __name__ == "__main__":
+    main()
