@@ -1,0 +1,199 @@
+"""Pipeline driver — the framework's `run-t1k` equivalent.
+
+Runs candidate extraction -> genotyping -> post analysis with the same
+staging, presets and output naming as the reference driver (run-t1k):
+
+  stage 0: extraction writes   <prefix>_candidate{_1,_2,}.fq (+ _bc.fa)
+  stage 1: genotyping writes   <prefix>_genotype.tsv, _allele.tsv,
+                               _aligned{_1,_2,}.fa (+ _aligned_bc.fa)
+  stage 2: post analysis       <prefix>_allele.vcf (+ _barcode_expr.tsv)
+
+Presets (run-t1k:289-314): hla -> -s 0.97 for genotyper/analyzer;
+hla-wgs additionally -s 0.97 for the extractor; kir-wgs -> -s 0.9
+--relaxIntronAlign; kir-wes -> --relaxIntronAlign.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from ..core.extractor import ExtractorOptions, run_extractor
+from ..core.pipeline import GenotypeOptions, log, run_genotyper
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="t1k-tpu",
+        description="TPU-native KIR/HLA genotyper",
+    )
+    ap.add_argument("-1", dest="first", nargs="+", default=[])
+    ap.add_argument("-2", dest="second", nargs="+", default=[])
+    ap.add_argument("-u", dest="single", nargs="+", default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    ap.add_argument("-b", dest="bam", default=None)
+    ap.add_argument("-f", dest="ref", required=True)
+    ap.add_argument("-c", dest="coord", default=None)
+    ap.add_argument("-o", dest="prefix", default="")
+    ap.add_argument("--od", dest="outdir", default="")
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-s", dest="similarity", type=float, default=None)
+    ap.add_argument("-n", dest="maxAssign", type=int, default=2000)
+    ap.add_argument("--frac", type=float, default=0.15)
+    ap.add_argument("--cov", type=float, default=1.0)
+    ap.add_argument("--crossGeneRate", type=float, default=0.04)
+    ap.add_argument("--squaremMinAlpha", type=float, default=0.0)
+    ap.add_argument("--alleleDigitUnits", type=int, default=-1)
+    ap.add_argument("--alleleDelimiter", default="")
+    ap.add_argument("--alleleWhitelist", default=None)
+    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcodeRange", nargs=3, default=None,
+                    metavar=("START", "END", "STRAND"))
+    ap.add_argument("--barcodeWhitelist", default=None)
+    ap.add_argument("--read1Range", nargs=2, type=int, default=None)
+    ap.add_argument("--read2Range", nargs=2, type=int, default=None)
+    ap.add_argument("--mateIdSuffixLen", type=int, default=0)
+    ap.add_argument("--abnormalUnmapFlag", action="store_true")
+    ap.add_argument("--relaxIntronAlign", action="store_true")
+    ap.add_argument("--preset", default="",
+                    choices=["", "hla", "hla-wgs", "kir-wgs", "kir-wes"])
+    ap.add_argument("--noExtraction", action="store_true")
+    ap.add_argument("--skipPostAnalysis", action="store_true")
+    ap.add_argument("--outputReadAssignment", action="store_true")
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--post-varMaxGroup", dest="varMaxGroup", type=int, default=8)
+    ap.add_argument("--backend", default="native", choices=["native", "tpu"],
+                    help="alignment/EM compute backend")
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    geno_sim = args.similarity if args.similarity is not None else 0.8
+    extract_sim = args.similarity if args.similarity is not None else 0.8
+    relax = args.relaxIntronAlign
+    if args.preset in ("hla", "hla-wgs"):
+        geno_sim = 0.97
+        if args.preset == "hla-wgs":
+            extract_sim = 0.97
+    elif args.preset == "kir-wgs":
+        geno_sim = 0.9
+        relax = True
+    elif args.preset == "kir-wes":
+        relax = True
+
+    first = args.first or args.single
+    paired = bool(args.second) or bool(args.interleaved)
+    if not first and not args.interleaved and not args.bam:
+        print("Need -1/-2, -u, -i or -b to specify input reads.", file=sys.stderr)
+        return 1
+
+    prefix = args.prefix
+    if not prefix:
+        base = args.bam or (first[0] if first else args.interleaved[0])
+        prefix = "T1K_" + os.path.basename(base).split(".")[0]
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        prefix = os.path.join(args.outdir, prefix)
+
+    cand1 = f"{prefix}_candidate_1.fq"
+    cand2 = f"{prefix}_candidate_2.fq"
+    cand = f"{prefix}_candidate.fq"
+
+    # ---------------------------------------------------------- stage 0
+    if args.stage <= 0 and not args.noExtraction:
+        eopts = ExtractorOptions(
+            ref_seq_similarity=extract_sim,
+            threads=args.threads,
+            barcode_file=args.barcode[0] if args.barcode else None,
+            barcode_whitelist=args.barcodeWhitelist,
+            backend=args.backend,
+        )
+        if args.barcodeRange:
+            eopts.barcode_start = int(args.barcodeRange[0])
+            eopts.barcode_end = int(args.barcodeRange[1])
+            eopts.barcode_revcomp = args.barcodeRange[2] == "-"
+        if args.read1Range:
+            eopts.read1_start, eopts.read1_end = args.read1Range
+        if args.read2Range:
+            eopts.read2_start, eopts.read2_end = args.read2Range
+        if args.bam:
+            from ..io.bam import extract_from_bam
+            extract_from_bam(args.bam, args.coord, args.ref,
+                             f"{prefix}_candidate", eopts)
+        else:
+            log("Start to extract candidate reads from read files.")
+            run_extractor(
+                args.ref, first if not args.interleaved else args.interleaved,
+                args.second or None, f"{prefix}_candidate", eopts,
+                interleaved=bool(args.interleaved),
+            )
+            log("Finish extracting reads.")
+
+    # determine candidate files
+    if not args.noExtraction:
+        if os.path.exists(cand1):
+            files1, files2 = [cand1], [cand2]
+            paired = True
+        elif os.path.exists(cand):
+            files1, files2 = [cand], None
+            paired = False
+        elif args.stage <= 1:
+            print(f"Could not find files like {prefix}_candidate*.fq", file=sys.stderr)
+            return 1
+        else:
+            files1, files2 = [], None
+    else:
+        files1 = [first[0]]
+        files2 = [args.second[0]] if args.second else None
+        paired = files2 is not None
+
+    barcode_geno = f"{prefix}_candidate_bc.fa" if args.barcode else None
+
+    # ---------------------------------------------------------- stage 1
+    if args.stage <= 1:
+        gopts = GenotypeOptions(
+            ref_seq_similarity=geno_sim,
+            relax_intron_align=relax,
+            max_assign_cnt=args.maxAssign,
+            filter_frac=args.frac,
+            filter_cov=args.cov,
+            cross_gene_rate=args.crossGeneRate,
+            min_squarem_alpha=args.squaremMinAlpha,
+            digit_units=args.alleleDigitUnits,
+            delimiter=args.alleleDelimiter,
+            allele_whitelist=args.alleleWhitelist,
+            barcode_file=barcode_geno,
+            output_read_assignment=args.outputReadAssignment,
+            threads=args.threads,
+            backend=args.backend,
+        )
+        run_genotyper(args.ref, files1, files2, prefix, gopts)
+
+    # ---------------------------------------------------------- stage 2
+    if args.stage <= 2 and not args.skipPostAnalysis:
+        from ..core.analyzer import AnalyzerOptions, run_analyzer
+        aopts = AnalyzerOptions(
+            ref_seq_similarity=geno_sim,
+            relax_intron_align=relax,
+            digit_units=args.alleleDigitUnits,
+            delimiter=args.alleleDelimiter,
+            barcode_file=f"{prefix}_aligned_bc.fa" if args.barcode else None,
+            var_max_group=args.varMaxGroup,
+            threads=args.threads,
+            backend=args.backend,
+        )
+        aligned1 = f"{prefix}_aligned_1.fa" if paired else f"{prefix}_aligned.fa"
+        aligned2 = f"{prefix}_aligned_2.fa" if paired else None
+        run_analyzer(args.ref, f"{prefix}_allele.tsv", [aligned1],
+                     [aligned2] if aligned2 else None, prefix, aopts)
+
+    log("Finish.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

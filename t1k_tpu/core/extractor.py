@@ -1,0 +1,201 @@
+"""Candidate-read extraction (the reference `fastq-extractor` stage).
+
+Screens raw reads with the k-mer index: a read pair is kept when either
+mate has a chained hit with enough matching bases.  Behavior contract:
+reference FastqExtractor.cpp (k=9 raised to log4(refLen)+1, hit-length
+thresholds 27/23 raised to meanReadLen/5, low-complexity filter,
+read/barcode range slicing, whitelist barcode correction).
+
+The screen itself runs in the native engine (HasHitInSet) or on the
+device k-mer classifier (ops/kmer.py) in batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..constants import (
+    EXTRACTOR_HIT_LEN_PAIRED,
+    EXTRACTOR_HIT_LEN_SINGLE,
+    EXTRACTOR_KMER_LENGTH,
+    encode_seq,
+)
+from ..io.reads import SeqRecord, read_seq_files
+from ..io.refset import RefSet
+from .barcode import BarcodeCorrector, format_barcode
+
+
+def is_low_complexity(seq: str) -> bool:
+    """FastqExtractor.cpp:89-111: dominated by one base, too many Ns, or
+    at least two bases nearly absent."""
+    cnt = [0, 0, 0, 0, 0]
+    for ch in seq:
+        if ch == "N":
+            cnt[4] += 1
+        else:
+            c = encode_seq(ch)[0]
+            cnt[c if c < 4 else 0] += 1
+    n = len(seq)
+    if (cnt[0] >= n // 2 or cnt[1] >= n // 2 or cnt[2] >= n // 2
+            or cnt[3] >= n // 2 or cnt[4] >= n // 10):
+        return True
+    low = sum(1 for i in range(4) if cnt[i] <= 2)
+    return low >= 2
+
+
+@dataclass
+class ExtractorOptions:
+    ref_seq_similarity: float = 0.8
+    threads: int = 1
+    barcode_file: Optional[str] = None
+    barcode_start: int = 0
+    barcode_end: int = -1
+    barcode_revcomp: bool = False
+    barcode_whitelist: Optional[str] = None
+    read1_start: int = 0
+    read1_end: int = -1
+    read2_start: int = 0
+    read2_end: int = -1
+    backend: str = "native"
+
+
+def _slice(seq: Optional[str], start: int, end: int) -> Optional[str]:
+    if seq is None or (start == 0 and end == -1):
+        return seq
+    e = len(seq) - 1 if end == -1 else end
+    return seq[start:e + 1]
+
+
+def run_extractor(
+    ref_fasta: str,
+    reads1: List[str],
+    reads2: Optional[List[str]],
+    output_prefix: str,
+    opts: Optional[ExtractorOptions] = None,
+    interleaved: bool = False,
+) -> dict:
+    """Returns counts: {"total": n, "candidates": m}."""
+    opts = opts or ExtractorOptions()
+    has_mate = reads2 is not None or interleaved
+
+    # The extractor indexes every allele record without dedupe
+    # (reference InputRefFa, SeqSet.hpp:872-904).
+    refset = RefSet(digit_units=-1, delimiter="")
+    from ..io.reads import read_seq_file
+    for rec in read_seq_file(ref_fasta):
+        refset.add_allele(rec.id, rec.seq, rec.comment)
+    packed = refset.packed()
+
+    if interleaved:
+        it1 = read_seq_files(reads1, interleaved_id=1)
+        it2 = read_seq_files(reads1, interleaved_id=2)
+    else:
+        it1 = read_seq_files(reads1)
+        it2 = read_seq_files(reads2) if reads2 else None
+
+    recs1 = list(it1)
+    recs2 = list(it2) if it2 is not None else None
+
+    # hit-length threshold from a 1000-read sample (FastqExtractor.cpp:390-407)
+    hit_len = EXTRACTOR_HIT_LEN_PAIRED if has_mate else EXTRACTOR_HIT_LEN_SINGLE
+    sample = recs1[:1000]
+    if not sample:
+        raise ValueError("read file is empty")
+    total_len = sum(len(r.seq) for r in sample)
+    if total_len // (len(sample) * 5) > hit_len:
+        hit_len = total_len // (len(sample) * 5)
+
+    kmer_length = EXTRACTOR_KMER_LENGTH
+    inferred = refset.infer_kmer_length()
+    if inferred > kmer_length:
+        kmer_length = inferred
+        if kmer_length > hit_len:
+            hit_len = kmer_length
+
+    from ..native import NativeEngine
+    engine = NativeEngine(
+        packed, kmer_length,
+        ref_seq_similarity=opts.ref_seq_similarity,
+        hit_len_required=hit_len,
+    )
+
+    corrector = None
+    bc_recs = None
+    if opts.barcode_file:
+        bc_recs = list(read_seq_files([opts.barcode_file]))
+        if opts.barcode_whitelist:
+            corrector = BarcodeCorrector()
+            corrector.set_whitelist(opts.barcode_whitelist)
+            corrector.collect_background(
+                (r.seq for r in bc_recs), opts.barcode_start, opts.barcode_end,
+                opts.barcode_revcomp)
+
+    # Screen: low-complexity prefilter, then batched k-mer chained screen.
+    def screen(recs: List[SeqRecord]) -> np.ndarray:
+        flags = np.zeros(len(recs), dtype=np.uint8)
+        todo = [i for i, r in enumerate(recs) if not is_low_complexity(r.seq)]
+        if todo:
+            codes = np.concatenate([encode_seq(recs[i].seq) for i in todo])
+            lens = np.array([len(recs[i].seq) for i in todo], dtype=np.int32)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[:-1])
+            sub = engine.screen_batch(codes, starts, lens)
+            for j, i in enumerate(todo):
+                flags[i] = sub[j]
+        return flags
+
+    good = screen(recs1)
+    if recs2 is not None:
+        # only screen mate 2 where mate 1 failed (either-mate rule)
+        failed = [i for i in range(len(recs2)) if not good[i]]
+        if failed:
+            sub_flags = screen([recs2[i] for i in failed])
+            for j, i in enumerate(failed):
+                if sub_flags[j]:
+                    good[i] = 1
+
+    # Outputs.
+    n_out = 0
+    if has_mate:
+        f1 = open(f"{output_prefix}_1.fq", "w")
+        f2 = open(f"{output_prefix}_2.fq", "w")
+    else:
+        f1 = open(f"{output_prefix}.fq", "w")
+        f2 = None
+    fbc = open(f"{output_prefix}_bc.fa", "w") if bc_recs is not None else None
+
+    def write_rec(f, name: str, rec: SeqRecord, start: int, end: int):
+        seq = _slice(rec.seq, start, end)
+        qual = _slice(rec.qual, start, end)
+        if qual is None:
+            f.write(f">{name}\n{seq}\n")
+        else:
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+
+    for i, keep in enumerate(good):
+        if not keep:
+            continue
+        n_out += 1
+        write_rec(f1, recs1[i].id, recs1[i], opts.read1_start, opts.read1_end)
+        if f2 is not None:
+            write_rec(f2, recs1[i].id, recs2[i], opts.read2_start, opts.read2_end)
+        if fbc is not None:
+            raw = bc_recs[i].seq
+            if raw:
+                bc = format_barcode(raw, opts.barcode_start, opts.barcode_end,
+                                    opts.barcode_revcomp)
+                if corrector is not None:
+                    bc = corrector.correct(bc, bc_recs[i].qual)
+                fbc.write(f">{recs1[i].id}\n{bc if bc else 'missing_barcode'}\n")
+            else:
+                fbc.write(f">{recs1[i].id}\nmissing_barcode\n")
+
+    f1.close()
+    if f2 is not None:
+        f2.close()
+    if fbc is not None:
+        fbc.close()
+    return {"total": len(recs1), "candidates": n_out}

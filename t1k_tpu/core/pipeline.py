@@ -69,10 +69,13 @@ class GenotypeResult:
     fragment_assignments: Optional[List] = None  # used by the analyzer stage
 
 
-def assign_unique_reads(engine, seqs: List[str]) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
+def assign_unique_reads(
+    engine, seqs: List[str], zero_weights: bool = False
+) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Group identical read sequences; run the engine once per unique
     sequence with the group size as the coverage weight
-    (Genotyper.cpp:450-479)."""
+    (Genotyper.cpp:450-479).  The analyzer stage passes zero weights so
+    base coverage is left untouched (Analyzer.cpp:142)."""
     order = sorted(range(len(seqs)), key=lambda i: seqs[i])
     uniq: List[str] = []
     weights: List[int] = []
@@ -85,7 +88,7 @@ def assign_unique_reads(engine, seqs: List[str]) -> Tuple[List[str], np.ndarray,
         for k in range(i, j):
             group_of[order[k]] = len(uniq)
         uniq.append(seqs[order[i]])
-        weights.append(j - i)
+        weights.append(0 if zero_weights else j - i)
         i = j
 
     if uniq:

@@ -1,0 +1,593 @@
+"""Novel-SNP calling over the selected alleles.
+
+Behavior contract: reference VariantCaller.hpp.  Pipeline:
+  1. two passes over all fragments accumulate per-base nucleotide counts —
+     first an alignment-quality pass (best matchCnt/similarity per base),
+     then a weighted pass gated on assignment quality,
+  2. candidate positions: alt count >= 5 and >= 0.5x the reference base
+     count (VariantCaller.hpp:307-345),
+  3. a fixed-point expansion propagates candidates across co-aligned
+     alleles and accumulates variant<->variant co-occurrence weights,
+  4. connected groups (edge weight >= 0.15x coverage) are solved by
+     exhaustive 4^n nucleotide assignment maximizing fragment coverage
+     (groups larger than varMaxGroup or spanning one allele twice or
+     without exon positions are skipped),
+  5. exonic variants are emitted as a VCF-like table; ties get quality 0.
+
+Several reference quirks are intentionally preserved and marked inline
+(e.g. the candidate-overlap pre-check that always falls through, and the
+positional stall before an overlap's readStart inflating co-occurrence
+weights).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import EDIT_DELETE, EDIT_INSERT, EDIT_MATCH, EDIT_MISMATCH
+
+
+@dataclass
+class Variant:
+    seq_idx: int
+    ref_start: int
+    ref_end: int
+    ref: str
+    var: str
+    all_support: float
+    var_support: float
+    var_uniq_support: float
+    var_group_id: int
+    output_group_id: int
+    qual: int
+
+
+class BaseVariants:
+    """Per-sequence per-base nucleotide evidence."""
+
+    def __init__(self, length: int, exon_mask: np.ndarray):
+        self.count = np.zeros((length, 4), dtype=np.float64)
+        self.uniq = np.zeros((length, 4), dtype=np.float64)
+        self.unweighted = np.zeros((length, 4), dtype=np.float64)
+        self.best_match = np.zeros((length, 4), dtype=np.int64)     # alignInfo.a
+        self.best_sim = np.zeros((length, 4), dtype=np.float64)     # alignInfo.b
+        self.exon = exon_mask
+        self.candidate_id = np.full(length, -1, dtype=np.int64)
+        self.final_variant_ids: Dict[int, List[int]] = {}
+
+    def good_assignment(self, pos: int, match_cnt: int) -> bool:
+        # good iff matchCnt is within 4 of every best alignment seen here
+        return bool((match_cnt >= self.best_match[pos] - 4).all())
+
+
+def _edit_walk_positions(align: np.ndarray, seq_start: int, read_start: int):
+    """Vectorized walk: per op, the (refPos, readPos) BEFORE applying it."""
+    not_ins = align != EDIT_INSERT
+    not_del = align != EDIT_DELETE
+    ref_pos = seq_start + np.concatenate([[0], np.cumsum(not_ins)[:-1]])
+    read_pos = read_start + np.concatenate([[0], np.cumsum(not_del)[:-1]])
+    return ref_pos, read_pos
+
+
+class VariantCaller:
+    def __init__(self, refset, packed, max_var_group: int = 8):
+        self.refset = refset
+        self.packed = packed
+        self.max_var_group = max_var_group
+        self.base: List[BaseVariants] = [
+            BaseVariants(a.length, a.exon_mask) for a in refset.alleles
+        ]
+        self.seq_abundance = np.zeros(len(refset), dtype=np.float64)
+        self.seq_copy = np.zeros(len(refset), dtype=np.int64)
+        self.candidate_variants: List[Tuple[int, int]] = []  # (seqIdx, refPos)
+        self.candidate_group_id: List[int] = []
+        self.candidate_root: List[bool] = []
+        self.final_variants: List[Variant] = []
+
+    def set_seq_abundance(self, genotyper) -> None:
+        self.seq_abundance = genotyper.abundance.copy()
+        gene_cnt: Dict[int, int] = {}
+        for a in self.refset.alleles:
+            gene_cnt[a.gene_idx] = gene_cnt.get(a.gene_idx, 0) + 1
+        for i, a in enumerate(self.refset.alleles):
+            self.seq_copy[i] = gene_cnt[a.gene_idx]
+
+    # ------------------------------------------------------- count updates
+    def _update_from_overlap(self, r_codes: np.ndarray, weight: float,
+                             filter_low_qual: bool, o) -> None:
+        """o carries .seq_idx/.seq_start/.read_start/.match_cnt/.similarity
+        and .align (int8 edit walk)."""
+        if o.seq_idx == -1 or o.align is None:
+            return
+        bv = self.base[o.seq_idx]
+        align = o.align
+        ref_pos, read_pos = _edit_walk_positions(align, o.seq_start, o.read_start)
+        is_sub = (align == EDIT_MATCH) | (align == EDIT_MISMATCH)
+        for k in np.flatnonzero(is_sub):
+            rp = ref_pos[k]
+            nuc = r_codes[read_pos[k]]
+            if filter_low_qual and not bv.good_assignment(rp, o.match_cnt):
+                continue
+            if nuc >= 4:
+                continue
+            if weight == 1:
+                bv.uniq[rp, nuc] += weight
+            bv.count[rp, nuc] += 1
+            bv.unweighted[rp, nuc] += 1
+            if o.match_cnt > bv.best_match[rp, nuc]:
+                bv.best_match[rp, nuc] = o.match_cnt
+                bv.best_sim[rp, nuc] = o.similarity
+            elif (o.match_cnt == bv.best_match[rp, nuc]
+                  and o.similarity > bv.best_sim[rp, nuc]):
+                bv.best_sim[rp, nuc] = o.similarity
+
+    def update_fragment(self, r1_codes, r2_codes, update_type: int,
+                        frags: List) -> None:
+        """update_type 1 = alignment-info pass, 0 = weighted pass
+        (VariantCaller.hpp:273-305)."""
+        if not frags:
+            return
+        total = 0.0
+        for f in frags:
+            total += self.seq_abundance[f.seq_idx]
+        for f in frags:
+            weight = self.seq_abundance[f.seq_idx] / total if total else 0.0
+            filter_low_qual = True
+            if update_type == 1:
+                filter_low_qual = False
+                weight = 0.0
+            if f.has_mate_pair:
+                self._update_from_overlap(
+                    f.o1_rc if f.overlap1.strand == -1 else r1_codes,
+                    weight, filter_low_qual, f.overlap1)
+                self._update_from_overlap(
+                    f.o2_rc if f.overlap2.strand == -1 else r2_codes,
+                    weight, filter_low_qual, f.overlap2)
+            else:
+                rc = r2_codes if f.o1_from_r2 else r1_codes
+                self._update_from_overlap(
+                    f.o1_rc if f.overlap1.strand == -1 else rc,
+                    weight, filter_low_qual, f.overlap1)
+
+    # -------------------------------------------------- candidate discovery
+    def find_candidates(self) -> None:
+        """alt count >= 5 and >= 0.5x ref-base count
+        (VariantCaller.hpp:307-345)."""
+        self.candidate_variants = []
+        self.candidate_group_id = []
+        self.candidate_root = []
+        for i, a in enumerate(self.refset.alleles):
+            bv = self.base[i]
+            codes = a.codes
+            for j in range(a.length):
+                ref_nuc = codes[j]
+                if ref_nuc >= 4:
+                    continue
+                ref_count = bv.count[j, ref_nuc]
+                for k in range(4):
+                    if (bv.count[j, k] >= 5 and bv.count[j, k] >= ref_count * 0.5
+                            and k != ref_nuc):
+                        bv.candidate_id[j] = len(self.candidate_variants)
+                        self.candidate_variants.append((i, j))
+                        self.candidate_group_id.append(-1)
+                        self.candidate_root.append(True)
+                        break
+
+    def _expand_fragment(self, frags: List, adj_weight: List[Dict[int, float]]):
+        """One fragment's contribution to candidate expansion + var-var
+        weights (VariantCaller.hpp:347-571, with the always-true
+        candidate-region precheck quirk preserved by omission)."""
+        if not frags:
+            return
+        n = len(frags)
+        for k in (0, 1):
+            if k == 1 and not frags[0].has_mate_pair:
+                break
+            ovs = [f.overlap1 if k == 0 else f.overlap2 for f in frags]
+            if any(o.align is None for o in ovs):
+                continue
+            read_len = frags[0].read_len2 if (
+                k == 1 or (k == 0 and frags[0].o1_from_r2)) else frags[0].read_len1
+            ref_pos = [o.seq_start for o in ovs]
+            if any(o.read_start != ovs[0].read_start for o in ovs[1:]):
+                continue
+            read_pos = [o.read_start for o in ovs]
+            align_idx = [0] * n
+            seq_lens = [self.refset.alleles[o.seq_idx].length for o in ovs]
+
+            for j in range(read_len):
+                valid = []
+                for i in range(n):
+                    if ref_pos[i] < seq_lens[i]:
+                        valid.append(self.base[ovs[i].seq_idx].good_assignment(
+                            ref_pos[i], ovs[i].match_cnt))
+                    else:
+                        valid.append(False)
+                first_cid = -1
+                for i in range(n):
+                    if not valid[i]:
+                        continue
+                    if (ref_pos[i] < seq_lens[i]
+                            and self.base[ovs[i].seq_idx].candidate_id[ref_pos[i]] != -1):
+                        first_cid = int(self.base[ovs[i].seq_idx].candidate_id[ref_pos[i]])
+                        break
+                if first_cid != -1:
+                    for i in range(n):
+                        if not valid[i]:
+                            continue
+                        o = ovs[i]
+                        bv = self.base[o.seq_idx]
+                        ai = align_idx[i]
+                        if (bv.candidate_id[ref_pos[i]] == -1
+                                and ai < len(o.align)
+                                and o.align[ai] in (EDIT_MATCH, EDIT_MISMATCH)):
+                            cid = len(self.candidate_variants)
+                            self.candidate_variants.append((o.seq_idx, ref_pos[i]))
+                            self.candidate_group_id.append(-1)
+                            self.candidate_root.append(False)
+                            bv.candidate_id[ref_pos[i]] = cid
+                            adj_weight.append({})
+                        cid = int(bv.candidate_id[ref_pos[i]])
+                        if cid != -1:
+                            self.candidate_group_id[cid] = -1
+                    for i in range(n):
+                        if not valid[i]:
+                            continue
+                        cid_i = int(self.base[ovs[i].seq_idx].candidate_id[ref_pos[i]])
+                        if cid_i == -1:
+                            continue
+                        for l in range(n):
+                            if i == l or not valid[l]:
+                                continue
+                            cid_l = int(self.base[ovs[l].seq_idx].candidate_id[ref_pos[l]])
+                            if cid_l == -1:
+                                continue
+                            adj_weight[cid_i][cid_l] = adj_weight[cid_i].get(cid_l, 0) + 1
+
+                for i in range(n):
+                    o = ovs[i]
+                    align = o.align
+                    while align_idx[i] < len(align) and read_pos[i] <= j:
+                        op = align[align_idx[i]]
+                        if op != EDIT_INSERT:
+                            ref_pos[i] += 1
+                        if op != EDIT_DELETE:
+                            read_pos[i] += 1
+                        align_idx[i] += 1
+
+    def _build_groups(self, adj_weight: List[Dict[int, float]]) -> int:
+        """DFS over the var-var graph keeping edges with weight >= 0.15x
+        either endpoint's coverage (VariantCaller.hpp:573-593)."""
+        n = len(self.candidate_variants)
+        group_cnt = 0
+
+        def dfs(frm: int, tag: int):
+            stack = [frm]
+            while stack:
+                cur = stack.pop()
+                if self.candidate_group_id[cur] != -1:
+                    continue
+                self.candidate_group_id[cur] = tag
+                si, pi = self.candidate_variants[cur]
+                cov_from = self.base[si].unweighted[pi].sum()
+                # reversed: the reference prepends edges and walks the chain
+                for to, w in reversed(list(adj_weight[cur].items())):
+                    st, pt = self.candidate_variants[to]
+                    cov_to = self.base[st].unweighted[pt].sum()
+                    if w >= cov_from * 0.15 or w >= cov_to * 0.15:
+                        if self.candidate_group_id[to] == -1:
+                            stack.append(to)
+
+        for i in range(n):
+            if self.candidate_root[i] and self.candidate_group_id[i] == -1:
+                dfs(i, group_cnt)
+                group_cnt += 1
+        return group_cnt
+
+    def _build_frag_var_graph(self, all_frags: List[List]):
+        """Fragment <-> variant bipartite adjacency with supported
+        nucleotide (VariantCaller.hpp:595-687)."""
+        n_var = len(self.candidate_variants)
+        var_to_frag: List[List[Tuple[int, int]]] = [[] for _ in range(n_var)]
+        var_frag_seen: List[set] = [set() for _ in range(n_var)]
+        for frag_idx, frags in enumerate(all_frags):
+            if not frags:
+                continue
+            for k in (0, 1):
+                if k == 1 and not frags[0].has_mate_pair:
+                    break
+                for f in frags:
+                    o = f.overlap1 if k == 0 else f.overlap2
+                    if o.align is None:
+                        continue
+                    if k == 0:
+                        r = f.o1_rc if o.strand == -1 else (
+                            f.r2_codes if f.o1_from_r2 else f.r1_codes)
+                    else:
+                        r = f.o2_rc if o.strand == -1 else f.r2_codes
+                    bv = self.base[o.seq_idx]
+                    ref_pos, read_pos = _edit_walk_positions(
+                        o.align, o.seq_start, o.read_start)
+                    cids = bv.candidate_id[ref_pos]
+                    for idx in np.flatnonzero(cids != -1):
+                        cid = int(cids[idx])
+                        # a trailing deletion can point one past the read end;
+                        # the reference reads the terminator there — model it
+                        # as a sentinel nucleotide that matches nothing
+                        rp = read_pos[idx]
+                        nuc = int(r[rp]) if rp < len(r) else -2
+                        key = (frag_idx, nuc)
+                        if key not in var_frag_seen[cid]:
+                            var_frag_seen[cid].add(key)
+                            var_to_frag[cid].append(key)
+        return var_to_frag
+
+    # ----------------------------------------------------------- solving
+    def _enumerate(self, vars_: List[int], frag_ids: List[int],
+                   var_to_frag) -> Tuple[float, int, List[int], Optional[List[int]]]:
+        """Exhaustive 4^n assignment; returns (bestCover, usedVarCnt,
+        best_choices, equal_best_choices)."""
+        n = len(vars_)
+        best_cover = -1.0
+        best_used = n + 1
+        best_choice: List[int] = []
+        equal_best: Optional[List[int]] = None
+        frag_id_set = list(frag_ids)
+        choices = [0] * n
+
+        codes_of = [self.refset.alleles[self.candidate_variants[v][0]].codes
+                    for v in vars_]
+        ref_nucs = [int(codes_of[i][self.candidate_variants[vars_[i]][1]])
+                    for i in range(n)]
+
+        def evaluate():
+            nonlocal best_cover, best_used, best_choice, equal_best
+            covered_map: Dict[int, int] = {}
+            for i in range(n):
+                v = vars_[i]
+                si, pi = self.candidate_variants[v]
+                if n <= 1 and self.seq_copy[si] <= 1 and choices[i] != ref_nucs[i]:
+                    continue
+                for (fidx, nuc) in var_to_frag[v]:
+                    if nuc == choices[i]:
+                        covered_map[fidx] = 1
+            if n <= 1:
+                for i in range(n):
+                    v = vars_[i]
+                    si, pi = self.candidate_variants[v]
+                    if self.seq_copy[si] != 1 or choices[i] == ref_nucs[i]:
+                        continue
+                    ref_contrib = alt_contrib = 0
+                    for (fidx, nuc) in var_to_frag[v]:
+                        if nuc == choices[i]:
+                            alt_contrib += 1
+                        elif nuc == ref_nucs[i]:
+                            ref_contrib += 1
+                    include_alt = (
+                        ((alt_contrib >= 2
+                          and self.base[si].uniq[pi, choices[i]] > 0)
+                         or alt_contrib >= 10)
+                        and alt_contrib > 0.15 * ref_contrib)
+                    for (fidx, nuc) in var_to_frag[v]:
+                        if nuc == ref_nucs[i] or (nuc == choices[i] and include_alt):
+                            if covered_map.get(fidx, 0) == 0:
+                                covered_map[fidx] = 2
+            covered = 0.0
+            for fidx in frag_id_set:
+                if covered_map.get(fidx, 0):
+                    covered += 1
+            used = sum(1 for i in range(n) if ref_nucs[i] != choices[i])
+            if covered > best_cover or (covered == best_cover and used < best_used):
+                best_cover = covered
+                best_used = used
+                best_choice = list(choices)
+                equal_best = None
+            elif covered == best_cover and used == best_used:
+                equal_best = list(choices)
+
+        def recurse(depth: int):
+            if depth == n:
+                evaluate()
+                return
+            for c in range(4):
+                choices[depth] = c
+                recurse(depth + 1)
+
+        recurse(0)
+        return best_cover, best_used, best_choice, equal_best
+
+    def _solve_group(self, vars_: List[int], var_to_frag) -> None:
+        n = len(vars_)
+        if n > self.max_var_group and self.max_var_group >= 0:
+            return
+        seq_used: Dict[int, int] = {}
+        in_exon = False
+        for v in vars_:
+            si, pi = self.candidate_variants[v]
+            if self.base[si].exon[pi]:
+                in_exon = True
+            seq_used[si] = seq_used.get(si, 0) + 1
+            if seq_used[si] > 1:
+                return
+        if not in_exon:
+            return
+
+        frag_ids: List[int] = []
+        frag_seen = set()
+        for v in vars_:
+            for (fidx, _) in var_to_frag[v]:
+                if fidx not in frag_seen:
+                    frag_seen.add(fidx)
+                    frag_ids.append(fidx)
+
+        _, _, best, equal_best = self._enumerate(vars_, frag_ids, var_to_frag)
+        uniq = equal_best is None
+
+        def emit(choice: List[int], output_group: int):
+            for i, v in enumerate(vars_):
+                si, pi = self.candidate_variants[v]
+                if not self.base[si].exon[pi]:
+                    continue
+                ref_nuc = int(self.refset.alleles[si].codes[pi])
+                var_nuc = choice[i]
+                if ref_nuc == var_nuc:
+                    continue
+                bv = self.base[si]
+                self.final_variants.append(Variant(
+                    seq_idx=si, ref_start=pi, ref_end=pi,
+                    ref="ACGTN"[ref_nuc], var="ACGTN"[var_nuc],
+                    all_support=float(bv.count[pi].sum()),
+                    var_support=float(bv.count[pi, var_nuc]),
+                    var_uniq_support=float(bv.uniq[pi, var_nuc]),
+                    var_group_id=self.candidate_group_id[v],
+                    output_group_id=output_group,
+                    qual=0 if not uniq else 60,
+                ))
+
+        emit(best, 0)
+        if not uniq:
+            emit(equal_best, 1)
+
+    # ------------------------------------------------------------- driver
+    def compute(self, all_frags: List[List]) -> None:
+        """Full novel-variant pipeline (VariantCaller.hpp:978-1145).
+        all_frags: per fragment, the assignment list; each record carries
+        overlap(s) with precomputed edit walks and encoded read views."""
+        if self.max_var_group == 0:
+            return
+        for frags in all_frags:
+            if not frags:
+                continue
+            self.update_fragment(frags[0].r1_codes, frags[0].r2_codes, 1, frags)
+        for frags in all_frags:
+            if not frags:
+                continue
+            self.update_fragment(frags[0].r1_codes, frags[0].r2_codes, 0, frags)
+
+        self.find_candidates()
+        adj_weight: List[Dict[int, float]] = [{} for _ in self.candidate_variants]
+
+        while True:
+            prev = len(self.candidate_variants)
+            for d in adj_weight:
+                d.clear()
+            for frags in all_frags:
+                self._expand_fragment(frags, adj_weight)
+            if prev == len(self.candidate_variants):
+                break
+
+        group_cnt = self._build_groups(adj_weight)
+        var_to_frag = self._build_frag_var_graph(all_frags)
+
+        groups: List[List[int]] = [[] for _ in range(group_cnt)]
+        for i, gid in enumerate(self.candidate_group_id):
+            if gid != -1:
+                groups[gid].append(i)
+        for g in groups:
+            self._solve_group(g, var_to_frag)
+
+        for vid, v in enumerate(self.final_variants):
+            self.base[v.seq_idx].final_variant_ids.setdefault(
+                v.ref_start, []).append(vid)
+
+    def write_vcf(self, path: str) -> None:
+        with open(path, "w") as f:
+            for v in self.final_variants:
+                status = "PASS" if v.qual > 0 else "FAIL"
+                exon_pos = self._exonic_position(v.seq_idx, v.ref_start)
+                f.write(
+                    f"{self.refset.alleles[v.seq_idx].name} {exon_pos + 1} . "
+                    f"{v.ref} {v.var} . {status} {v.var_support:.6f} "
+                    f"{v.all_support:.6f} {v.var_uniq_support:.6f} "
+                    f"{v.ref_start} {v.output_group_id}\n")
+
+    def _exonic_position(self, seq_idx: int, pos: int) -> int:
+        a = self.refset.alleles[seq_idx]
+        if pos >= len(a.exon_mask) or not a.exon_mask[pos]:
+            return -1
+        psum = 0
+        for (s, e) in a.exons:
+            if s <= pos <= e:
+                return psum + pos - s
+            psum += e - s + 1
+        return psum
+
+    # --------------------------------------------- barcode adjustment
+    def adjust_fragment_assignment(self, frags: List) -> List:
+        """Re-rank a fragment's assignments by agreement with called
+        variants (VariantCaller.hpp:1229-1311)."""
+        if not frags:
+            return frags
+        scores = []
+        for f in frags:
+            score = 0.0
+            for k in (0, 1):
+                if k == 1 and not f.has_mate_pair:
+                    continue
+                o = f.overlap1 if k == 0 else f.overlap2
+                if o.align is None:
+                    continue
+                if k == 0:
+                    r = f.o1_rc if o.strand == -1 else (
+                        f.r2_codes if f.o1_from_r2 else f.r1_codes)
+                else:
+                    r = f.o2_rc if o.strand == -1 else f.r2_codes
+                bv = self.base[o.seq_idx]
+                ref_pos, read_pos = _edit_walk_positions(
+                    o.align, o.seq_start, o.read_start)
+                mism = o.align == EDIT_MISMATCH
+                for idx in np.flatnonzero(mism):
+                    vids = bv.final_variant_ids.get(int(ref_pos[idx]), [])
+                    nuc = "ACGTN"[int(r[read_pos[idx]])]
+                    for vid in vids:
+                        if self.final_variants[vid].var == nuc:
+                            score += 1
+                            break
+            scores.append(score)
+        mx = max(scores)
+        return [f for f, s in zip(frags, scores) if s == mx]
+
+
+class BarcodeSummary:
+    """Per-barcode x allele fragment counts, variant-adjusted
+    (reference BarcodeSummary.hpp)."""
+
+    def __init__(self, refset):
+        self.refset = refset
+        self.counts: Dict[int, np.ndarray] = {}   # fractional
+        self.uniq: Dict[int, np.ndarray] = {}
+
+    def add_fragment(self, barcode: int, variant_caller: Optional[VariantCaller],
+                     frags: List) -> None:
+        n_alleles = len(self.refset)
+        if barcode not in self.counts:
+            self.counts[barcode] = np.zeros(n_alleles, dtype=np.float64)
+            self.uniq[barcode] = np.zeros(n_alleles, dtype=np.int64)
+        adjusted = frags
+        if variant_caller is not None:
+            adjusted = variant_caller.adjust_fragment_assignment(frags)
+        n = len(adjusted)
+        for f in adjusted:
+            self.counts[barcode][f.seq_idx] += 1.0 / n
+            if n == 1:
+                self.uniq[barcode][f.seq_idx] += 1
+
+    def write(self, path: str, barcode_names: List[str]) -> None:
+        names = [a.name for a in self.refset.alleles]
+        with open(path, "w") as f:
+            f.write("#barcode")
+            for n in names:
+                f.write(f"\t{n}")
+            for n in names:
+                f.write(f"\t{n}_uniq")
+            f.write("\n")
+            for bc in sorted(self.counts.keys()):
+                f.write(barcode_names[bc])
+                for v in self.counts[bc]:
+                    f.write(f"\t{v:.6f}")
+                for v in self.uniq[bc]:
+                    f.write(f"\t{int(v)}")
+                f.write("\n")

@@ -100,9 +100,98 @@ def sha256(path: str) -> str:
     return h.hexdigest()
 
 
+def make_extractor_input():
+    """Mixed on-target / background / low-complexity reads for the
+    extraction-stage golden."""
+    import numpy as np
+
+    ref = os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa")
+    by_name = {r.id: r for r in read_seq_file(ref)}
+    chosen = [by_name["CYP2D6*1"], by_name["CYP2D6*4"]]
+    r1, r2 = simulate_pairs(chosen, [1.0, 0.8], SimConfig(n_pairs=200, seed=77))
+    rng = np.random.default_rng(123)
+    bases = np.array(list("ACGT"))
+    for i in range(250):
+        s1 = "".join(rng.choice(bases, 100))
+        s2 = "".join(rng.choice(bases, 100))
+        r1.append(SeqRecord(f"bg_{i}", s1, "I" * 100))
+        r2.append(SeqRecord(f"bg_{i}", s2, "I" * 100))
+    for i in range(10):
+        r1.append(SeqRecord(f"low_{i}", "A" * 60 + "C" * 40, "I" * 100))
+        r2.append(SeqRecord(f"low_{i}", "ACAC" * 25, "I" * 100))
+    order = rng.permutation(len(r1))
+    p1 = os.path.join(DATA, "extract_1.fq")
+    p2 = os.path.join(DATA, "extract_2.fq")
+    write_fastq(p1, [r1[i] for i in order])
+    write_fastq(p2, [r2[i] for i in order])
+    return ref, p1, p2
+
+
+def golden_extractor():
+    ref, p1, p2 = make_extractor_input()
+    prefix = "/tmp/golden_extract"
+    subprocess.run([os.path.join(REF_BIN, "fastq-extractor"), "-f", ref,
+                    "-1", p1, "-2", p2, "-o", prefix],
+                   check=True, capture_output=True)
+    with open(os.path.join(GOLDEN, "extract_digests.txt"), "w") as f:
+        f.write(f"_1.fq\t{sha256(prefix + '_1.fq')}\n")
+        f.write(f"_2.fq\t{sha256(prefix + '_2.fq')}\n")
+    print("extract: done")
+
+
+def make_variant_input():
+    """Reads carrying injected exonic SNPs + per-fragment barcodes, to
+    exercise the novel-variant caller and the barcode matrix."""
+    from t1k_tpu.io.reads import write_fasta
+
+    ref = os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa")
+    by_name = {r.id: r for r in read_seq_file(ref)}
+    a1, a4 = by_name["CYP2D6*1"], by_name["CYP2D6*4"]
+
+    def mut(rec, positions):
+        s = list(rec.seq)
+        for p in positions:
+            s[p] = "A" if s[p] != "A" else "G"
+        return SeqRecord(rec.id, "".join(s), None, rec.comment)
+
+    a1m = mut(a1, [400, 430, 900])
+    a4m = mut(a4, [700])
+    r1, r2 = simulate_pairs([a1m, a4m], [1.0, 0.9], SimConfig(n_pairs=600, seed=61))
+    bcs = [SeqRecord(r.id, f"BC{i % 4:02d}", None) for i, r in enumerate(r1)]
+    p1 = os.path.join(DATA, "variant_1.fq")
+    p2 = os.path.join(DATA, "variant_2.fq")
+    pb = os.path.join(DATA, "variant_bc.fa")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    write_fasta(pb, bcs)
+    return ref, p1, p2, pb
+
+
+def golden_analyzer():
+    ref, p1, p2, pb = make_variant_input()
+    prefix = "/tmp/golden_variant"
+    subprocess.run([os.path.join(REF_BIN, "genotyper"), "-f", ref, "-1", p1,
+                    "-2", p2, "--barcode", pb, "-o", prefix],
+                   check=True, capture_output=True)
+    subprocess.run([os.path.join(REF_BIN, "analyzer"), "-f", ref,
+                    "-a", prefix + "_allele.tsv",
+                    "-1", prefix + "_aligned_1.fa",
+                    "-2", prefix + "_aligned_2.fa",
+                    "--barcode", prefix + "_aligned_bc.fa", "-o", prefix],
+                   check=True, capture_output=True)
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf",
+                   "_barcode_expr.tsv"):
+        with open(prefix + suffix) as fin, open(
+                os.path.join(GOLDEN, "variant" + suffix), "w") as fout:
+            fout.write(fin.read())
+    print("variant: done")
+
+
 def main():
     os.makedirs(GOLDEN, exist_ok=True)
     os.makedirs(DATA, exist_ok=True)
+    golden_extractor()
+    golden_analyzer()
     mg = build_multigene_reference()
     for name, case in CASES.items():
         ref = mg if case["ref"] == "MULTIGENE" else case["ref"]

@@ -1,0 +1,41 @@
+"""Post-analysis parity: the genotype -> analyze chain on reads carrying
+injected exonic SNPs must reproduce the reference's VCF and barcode
+expression matrix byte-for-byte."""
+
+import os
+
+import pytest
+
+from tests.conftest import DATA_DIR, GOLDEN_DIR
+from t1k_tpu.core.analyzer import AnalyzerOptions, run_analyzer
+from t1k_tpu.core.pipeline import GenotypeOptions, run_genotyper
+
+CYP_RNA = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+) + "/cyp2d6_rna_seq.fa"
+
+
+def test_analyzer_matches_reference(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    p1 = os.path.join(DATA_DIR, "variant_1.fq")
+    assert os.path.exists(p1), "run tests/make_goldens.py first"
+    p2 = os.path.join(DATA_DIR, "variant_2.fq")
+    pb = os.path.join(DATA_DIR, "variant_bc.fa")
+
+    prefix = str(tmp_path / "variant")
+    run_genotyper(CYP_RNA, [p1], [p2], prefix,
+                  GenotypeOptions(barcode_file=pb))
+    out = run_analyzer(CYP_RNA, prefix + "_allele.tsv",
+                       [prefix + "_aligned_1.fa"], [prefix + "_aligned_2.fa"],
+                       prefix,
+                       AnalyzerOptions(barcode_file=prefix + "_aligned_bc.fa"))
+    assert out["variants"] > 0
+
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf",
+                   "_barcode_expr.tsv"):
+        with open(prefix + suffix) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "variant" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"variant{suffix} differs"

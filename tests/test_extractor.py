@@ -1,0 +1,43 @@
+"""Extraction-stage parity: candidate fastqs must be byte-identical to
+the reference extractor's output on the mixed on/off-target input."""
+
+import hashlib
+import os
+
+import pytest
+
+from tests.conftest import DATA_DIR, GOLDEN_DIR
+from t1k_tpu.core.extractor import ExtractorOptions, is_low_complexity, run_extractor
+
+CYP_RNA = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+) + "/cyp2d6_rna_seq.fa"
+
+
+def test_low_complexity():
+    assert is_low_complexity("A" * 100)
+    assert is_low_complexity("ACAC" * 25)          # two bases absent
+    assert is_low_complexity("ACGT" * 2 + "N" * 5 + "ACGT" * 5)  # many Ns
+    assert not is_low_complexity("ACGTAGCTAGGATCGGCTAAGCTTGCAGT" * 3)
+
+
+def test_extractor_matches_reference(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    p1 = os.path.join(DATA_DIR, "extract_1.fq")
+    assert os.path.exists(p1), "run tests/make_goldens.py first"
+    p2 = os.path.join(DATA_DIR, "extract_2.fq")
+
+    prefix = str(tmp_path / "cand")
+    stats = run_extractor(CYP_RNA, [p1], [p2], prefix, ExtractorOptions())
+    assert stats["candidates"] > 0
+
+    digests = {}
+    with open(os.path.join(GOLDEN_DIR, "extract_digests.txt")) as f:
+        for line in f:
+            k, v = line.split()
+            digests[k] = v
+    for suffix in ("_1.fq", "_2.fq"):
+        with open(prefix + suffix, "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        assert got == digests[suffix], f"candidate {suffix} differs"
