@@ -1,0 +1,76 @@
+"""Round benchmark: banded-aligner throughput on the TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+
+The workload is the pipeline's hot loop shape — 112bp reference windows
+vs 100bp candidate reads (~2% substitutions), banded affine-gap scoring.
+Baseline = the reference implementation's per-pair DP throughput,
+measured here with this framework's native C++ engine, which runs the
+same algorithm with identical results (single thread, as the reference
+binaries' inner loop does per thread).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def make_batch(B, Lt=112, Lp=100, seed=1):
+    rng = np.random.default_rng(seed)
+    tc = rng.integers(0, 4, (B, Lt)).astype(np.int8)
+    off = (Lt - Lp) // 2
+    pc = tc[:, off:off + Lp].copy()
+    mut = rng.random((B, Lp)) < 0.02
+    pc[mut] = rng.integers(0, 4, int(mut.sum())).astype(np.int8)
+    tl = np.full(B, Lt, np.int32)
+    pl = np.full(B, Lp, np.int32)
+    return tc, tl, pc, pl
+
+
+def bench_native_baseline(n=4000):
+    from t1k_tpu.native import align_global
+
+    tc, tl, pc, pl = make_batch(n, seed=2)
+    t0 = time.perf_counter()
+    for i in range(n):
+        align_global(tc[i], pc[i])
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_tpu(B=16384, secs=3.0):
+    import jax
+
+    from t1k_tpu.ops.align_pallas import banded_scores_pallas
+
+    tc, tl, pc, pl = make_batch(B)
+    fn = lambda: banded_scores_pallas(tc, tl, pc, pl)
+    jax.block_until_ready(fn())  # compile
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < secs:
+        jax.block_until_ready(fn())
+        reps += 1
+    dt = (time.perf_counter() - t0) / reps
+    return B / dt
+
+
+def main():
+    baseline = bench_native_baseline()
+    tpu = bench_tpu()
+    print(json.dumps({
+        "metric": "banded_align_pairs_per_s_per_chip",
+        "value": round(tpu),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

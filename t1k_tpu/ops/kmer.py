@@ -1,0 +1,136 @@
+"""Device k-mer classification against the allele database.
+
+The reference index becomes a fixed-width integer open-addressing hash
+table in device memory (replacing the host map-of-vectors): keys are
+2-bit-packed k-mers (k <= 16 fits uint32 key space), values are posting
+counts.  Read batches are classified entirely on device:
+
+  1. rolling 2-bit codes for every window of every read (both strands),
+  2. table lookup via double hashing with a bounded probe loop,
+  3. per-read tally of matching windows -> candidate flag.
+
+This is the extractor's fast path: a read that the exact screen accepts
+must have at least ceil(hitLenRequired / k) index-matching windows on one
+strand (SeqSet.hpp:1959), so flagging reads with fewer total matches
+cannot produce false negatives.  The native engine re-screens the
+surviving reads exactly, preserving byte-identical extractor output
+while the TPU discards the bulk of off-target input at memory bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EMPTY = np.uint32(0xFFFFFFFF)
+
+
+@dataclass
+class DeviceKmerTable:
+    k: int
+    table: jnp.ndarray      # uint32 [size] keys, 0xFFFFFFFF = empty
+    size: int               # power of two
+
+    @classmethod
+    def build(cls, packed, k: int) -> "DeviceKmerTable":
+        """Collect distinct valid k-mers of all reference sequences."""
+        keys = set()
+        for s in range(packed.n):
+            start = int(packed.seq_starts[s])
+            ln = int(packed.seq_lens[s])
+            codes = packed.seq_codes[start:start + ln].astype(np.int64)
+            if ln < k:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            valid = (win < 4).all(axis=1)
+            pows = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+            vals = (np.where(win < 4, win, 3) * pows).sum(axis=1)
+            keys.update(int(v) for v in vals[valid])
+        n = max(len(keys), 1)
+        size = 1
+        while size < 2 * n:
+            size *= 2
+        table = np.full(size, _EMPTY, dtype=np.uint32)
+        mask = size - 1
+        for key in keys:
+            h = (key * 2654435761) & mask
+            step = ((key >> 15) | 1) & mask | 1
+            while table[h] != _EMPTY:
+                h = (h + step) & mask
+            table[h] = key
+        return cls(k=k, table=jnp.asarray(table), size=size)
+
+
+def _rolling_codes(codes: jnp.ndarray, k: int):
+    """codes [R, L] int32 -> (window codes [R, L-k+1], valid mask)."""
+    R, L = codes.shape
+    W = L - k + 1
+    acc = jnp.zeros((R, W), jnp.uint32)
+    invalid = jnp.zeros((R, W), bool)
+    for t in range(k):
+        sl = jax.lax.slice(codes, (0, t), (R, t + W))
+        acc = (acc << 2) | jnp.where(sl < 4, sl, 3).astype(jnp.uint32)
+        invalid |= sl >= 4
+    return acc, ~invalid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "size", "max_probe"))
+def _classify(codes, lens, table, k: int, size: int, max_probe: int = 32):
+    """Count index-matching windows per read on both strands.
+
+    Returns (fwd_matches [R], rc_matches [R]) int32.
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    mask = jnp.uint32(size - 1)
+
+    def lookup(keys):  # keys [R, W] uint32
+        h0 = (keys * jnp.uint32(2654435761)) & mask
+        step = (((keys >> 15) | 1) & mask) | 1
+
+        def body(i, state):
+            h, found, empty = state
+            entry = table[h]
+            found = found | (entry == keys)
+            empty = empty | (entry == jnp.uint32(0xFFFFFFFF))
+            h = jnp.where(found | empty, h, (h + step) & mask)
+            return h, found, empty
+
+        _, found, _ = jax.lax.fori_loop(
+            0, max_probe, body,
+            (h0, jnp.zeros_like(keys, bool), jnp.zeros_like(keys, bool)))
+        return found
+
+    fwd, fwd_valid = _rolling_codes(codes, k)
+    # reverse complement read: windows mirror; compute rc codes directly
+    rc_codes = jnp.where(codes < 4, 3 - codes, codes)[:, ::-1]
+    rc, rc_valid = _rolling_codes(rc_codes, k)
+
+    win_idx = jnp.arange(W)[None, :]
+    in_read = win_idx < (lens[:, None] - k + 1)
+    # for the reverse strand, valid windows sit at the END of the padded row
+    rc_in_read = win_idx >= (L - lens[:, None])
+
+    fwd_hit = lookup(fwd) & fwd_valid & in_read
+    rc_hit = lookup(rc) & rc_valid & rc_in_read
+    return fwd_hit.sum(axis=1), rc_hit.sum(axis=1)
+
+
+def classify_reads(table: DeviceKmerTable, codes: np.ndarray, lens: np.ndarray):
+    """Per-read matching-window counts (fwd, rc) for a padded batch."""
+    return _classify(jnp.asarray(codes, jnp.int32), jnp.asarray(lens, jnp.int32),
+                     table.table, table.k, table.size)
+
+
+def prefilter_flags(table: DeviceKmerTable, codes: np.ndarray,
+                    lens: np.ndarray, hit_len_required: int) -> np.ndarray:
+    """Conservative candidate prefilter: keep a read iff its total
+    matching windows could satisfy the exact screen's bucket-size
+    requirement (no false negatives by construction)."""
+    fwd, rc = classify_reads(table, codes, lens)
+    need = max(3, -(-hit_len_required // table.k))
+    return np.asarray((fwd + rc) >= need)

@@ -1,0 +1,134 @@
+"""Multi-chip scaling: device mesh construction and the sharded EM step.
+
+Design (SURVEY.md section 2.4): the allele reference index and EC tables
+are small (MBs) and replicated on every device; read batches and the
+read-group x EC incidence lists are sharded along the data axis.  Each EM
+iteration computes local per-EC sufficient statistics (expected counts)
+and merges them with a single psum over ICI — the only cross-device
+communication in the hot loop.  The same layout serves the alignment
+stage: candidate (read, allele-window) pairs shard along the batch axis
+with no communication at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, arr, axis: str = "dp"):
+    """Place a batch-major array sharded along the mesh data axis."""
+    spec = P(axis, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def sharded_em_step(mesh: Mesh, axis: str = "dp"):
+    """Build one data-parallel EM update step over the mesh.
+
+    The incidence arrays (seg_rg, seg_ec, counts) are sharded along the
+    data axis; x (EC abundances) is replicated.  Returns a jitted
+    function (x, seg_rg_shard, seg_ec_shard, counts_shard, rg_psum_denom
+    precomputed?) -> (x1, count).
+
+    To keep the E-step correct under sharding, the per-read-group
+    normalizer must see all of a group's entries — so read groups are
+    sharded whole (the host partitioner cuts on group boundaries), and
+    the per-EC count reduction is a psum.
+    """
+
+    def step(x, seg_rg, seg_ec, counts, rg_cnt, ec_len):
+        vals = x[seg_ec]
+        psum = jax.ops.segment_sum(vals, seg_rg, num_segments=rg_cnt)
+        psum = jnp.where(psum == 0, 1, psum)
+        contrib = counts * vals / psum[seg_rg]
+        local = jax.ops.segment_sum(contrib, seg_ec, num_segments=x.shape[0])
+        count = jax.lax.psum(local, axis)
+        per_len = count / ec_len
+        x1 = per_len / per_len.sum()
+        return x1, count
+
+    return step
+
+
+def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
+                          counts: np.ndarray, rg_cnt: int, n_shards: int):
+    """Split incidence arrays into n_shards with whole read groups per
+    shard, padded to equal length (padding points at a dummy group whose
+    abundance contribution is zero)."""
+    order = np.argsort(seg_rg, kind="stable")
+    seg_rg, seg_ec, counts = seg_rg[order], seg_ec[order], counts[order]
+    bounds = np.searchsorted(
+        seg_rg, np.linspace(0, rg_cnt, n_shards + 1)[1:-1])
+    pieces = np.split(np.arange(len(seg_rg)), bounds)
+    max_len = max((len(p) for p in pieces), default=0)
+    max_len = max(max_len, 1)
+    out_rg = np.full((n_shards, max_len), rg_cnt, dtype=seg_rg.dtype)
+    out_ec = np.zeros((n_shards, max_len), dtype=seg_ec.dtype)
+    out_ct = np.zeros((n_shards, max_len), dtype=counts.dtype)
+    for s, p in enumerate(pieces):
+        out_rg[s, :len(p)] = seg_rg[p]
+        out_ec[s, :len(p)] = seg_ec[p]
+        out_ct[s, :len(p)] = counts[p]
+    return out_rg, out_ec, out_ct
+
+
+def em_quantify_sharded(
+    mesh: Mesh,
+    seg_rg: np.ndarray,
+    seg_ec: np.ndarray,
+    counts: np.ndarray,
+    rg_cnt: int,
+    ec_len: np.ndarray,
+    init_x: np.ndarray,
+    iterations: int = 50,
+    axis: str = "dp",
+):
+    """Multi-chip plain-EM quantification (no SQUAREM) used by the
+    dry-run and scaling benchmarks; the single-chip SQUAREM variant lives
+    in ops/em.py."""
+    n = mesh.devices.size
+    srg, sec, sct = partition_read_groups(seg_rg, seg_ec, counts, rg_cnt, n)
+    dtype = jnp.float32
+    step = sharded_em_step(mesh, axis)
+
+    # NOTE: the update is shard_mapped per iteration (psum inside a
+    # device-side fori_loop deadlocks on the virtual CPU backend used for
+    # multi-chip dry runs; on real hardware the per-call overhead is
+    # dwarfed by the E-step work).
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run_step(x, srg_s, sec_s, sct_s, ec_len_r):
+        x1, _ = step(x, srg_s.reshape(-1), sec_s.reshape(-1),
+                     sct_s.reshape(-1), rg_cnt + 1, ec_len_r)
+        return x1
+
+    run_step = jax.jit(run_step, donate_argnums=(0,))
+    x = jnp.asarray(init_x, dtype)
+    x = x / x.sum()
+    srg_d = jnp.asarray(srg)
+    sec_d = jnp.asarray(sec)
+    sct_d = jnp.asarray(sct, dtype)
+    ec_len_d = jnp.asarray(ec_len, dtype)
+    for _ in range(iterations):
+        x = run_step(x, srg_d, sec_d, sct_d, ec_len_d)
+    return np.asarray(x)

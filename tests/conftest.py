@@ -1,8 +1,9 @@
 import os
 import sys
 
-# Multi-chip sharding tests run on a virtual CPU mesh; must be set before
-# jax initializes.  Real-TPU benchmarks opt out via T1K_REAL_DEVICE=1.
+# Multi-chip sharding tests run on a virtual CPU mesh.  The platform is
+# forced via jax.config (environment-variable routing can be overridden
+# by site-installed TPU plugins); must happen before backend init.
 if not os.environ.get("T1K_REAL_DEVICE"):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
@@ -10,6 +11,12 @@ if not os.environ.get("T1K_REAL_DEVICE"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,162 @@
+"""Device-op tests (virtual CPU mesh): batched aligner score parity,
+jitted EM vs the exact native EM, device k-mer prefilter safety, and the
+multi-chip sharded EM step."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATA_DIR, GOLDEN_DIR
+from t1k_tpu.constants import encode_seq
+
+CYP_RNA = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+) + "/cyp2d6_rna_seq.fa"
+
+
+def _golden_batch():
+    cases = []
+    with open(os.path.join(GOLDEN_DIR, "align_global.tsv")) as f:
+        for line in f:
+            lent, lenp, t, p, score, _ = line.rstrip("\n").split("\t")
+            t = "" if t == "-" else t
+            p = "" if p == "-" else p
+            cases.append((t, p, int(score)))
+    Lt = max(len(t) for t, _, _ in cases) + 1
+    Lp = max(len(p) for _, p, _ in cases) + 1
+    B = len(cases)
+    tc = np.zeros((B, Lt), np.int8)
+    pc = np.zeros((B, Lp), np.int8)
+    tl = np.zeros(B, np.int32)
+    pl = np.zeros(B, np.int32)
+    for i, (t, p, _) in enumerate(cases):
+        tc[i, :len(t)] = encode_seq(t)
+        pc[i, :len(p)] = encode_seq(p)
+        tl[i] = len(t)
+        pl[i] = len(p)
+    want = np.array([s for _, _, s in cases], np.int32)
+    return tc, tl, pc, pl, want
+
+
+def test_jax_aligner_matches_reference_scores():
+    from t1k_tpu.ops.align import banded_scores
+
+    tc, tl, pc, pl, want = _golden_batch()
+    got = np.asarray(banded_scores(tc, tl, pc, pl))
+    assert (got == want).all()
+
+
+def test_pallas_aligner_interpret_matches():
+    from t1k_tpu.ops.align_pallas import banded_scores_pallas
+
+    tc, tl, pc, pl, want = _golden_batch()
+    got = np.asarray(banded_scores_pallas(tc[:32], tl[:32], pc[:32], pl[:32],
+                                          block_b=32, interpret=True))
+    assert (got == want[:32]).all()
+
+
+def _em_inputs():
+    rng = np.random.default_rng(3)
+    n_alleles, n_genes, n_majors, ec_cnt, rg_cnt = 40, 3, 12, 15, 200
+    ec_to_alleles = [[] for _ in range(ec_cnt)]
+    for a in range(n_alleles):
+        ec_to_alleles[a % ec_cnt].append(a)
+    offs = [0]
+    ecs = []
+    for _ in range(rg_cnt):
+        k = rng.integers(1, 6)
+        ecs.extend(rng.choice(ec_cnt, size=k, replace=False).tolist())
+        offs.append(len(ecs))
+    args = dict(
+        ec_to_alleles=ec_to_alleles,
+        rg_ecs_csr=(np.array(offs, np.int64), np.array(ecs, np.int32)),
+        rg_counts=rng.choice([1.0, 0.5, 2.0], rg_cnt),
+        allele_eff_len=rng.integers(900, 1400, n_alleles).astype(np.int32),
+        allele_missing=np.zeros(n_alleles, np.int32),
+        allele_weight=rng.integers(1, 4, n_alleles).astype(np.int32),
+        allele_gene=(np.arange(n_alleles) % n_genes).astype(np.int32),
+        allele_major=(np.arange(n_alleles) % n_majors).astype(np.int32),
+        n_genes=n_genes,
+        n_majors=n_majors,
+    )
+    return args
+
+
+def test_jax_em_matches_native():
+    from t1k_tpu.native import em_quantify
+    from t1k_tpu.ops.em import em_quantify_jax
+
+    args = _em_inputs()
+    it_native, count_native = em_quantify(**args)
+    it_jax, count_jax = em_quantify_jax(**args)
+    assert it_native == it_jax
+    np.testing.assert_allclose(count_jax, count_native, rtol=2e-3, atol=1e-3)
+
+
+def test_device_kmer_prefilter_no_false_negatives():
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.refset import RefSet
+    from t1k_tpu.io.reads import read_seq_file
+    from t1k_tpu.native import NativeEngine
+    from t1k_tpu.ops.kmer import DeviceKmerTable, prefilter_flags
+
+    refset = RefSet(digit_units=-1)
+    for rec in read_seq_file(CYP_RNA):
+        refset.add_allele(rec.id, rec.seq, rec.comment)
+    packed = refset.packed()
+    k = 11
+    hit_len = 27
+    engine = NativeEngine(packed, k, hit_len_required=hit_len)
+    table = DeviceKmerTable.build(packed, k)
+
+    p1 = os.path.join(DATA_DIR, "extract_1.fq")
+    if not os.path.exists(p1):
+        pytest.skip("run tests/make_goldens.py first")
+    recs = list(read_seq_file(p1))
+    L = max(len(r.seq) for r in recs)
+    codes = np.zeros((len(recs), L), np.int8)
+    lens = np.zeros(len(recs), np.int32)
+    for i, r in enumerate(recs):
+        codes[i, :len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+
+    flags_device = prefilter_flags(table, codes, lens, hit_len)
+
+    flat = np.concatenate([encode_seq(r.seq) for r in recs])
+    starts = np.zeros(len(recs), np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    flags_exact = engine.screen_batch(flat, starts, lens)
+
+    # prefilter must never reject a read the exact screen accepts
+    assert not np.any((flags_exact == 1) & (~flags_device))
+    # and it should reject a decent share of background
+    reject_rate = 1 - flags_device.mean()
+    assert reject_rate > 0.3
+
+
+def test_sharded_em_multichip():
+    import jax
+
+    from t1k_tpu.parallel.mesh import data_mesh, em_quantify_sharded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    rng = np.random.default_rng(5)
+    ec_cnt, rg_cnt, nnz = 12, 300, 900
+    seg_rg = np.sort(rng.integers(0, rg_cnt, nnz)).astype(np.int32)
+    seg_ec = rng.integers(0, ec_cnt, nnz).astype(np.int32)
+    counts = np.ones(nnz, np.float64)
+    ec_len = rng.integers(800, 1200, ec_cnt).astype(np.float64)
+    init = np.ones(ec_cnt, np.float64)
+
+    mesh = data_mesh(8)
+    x_sharded = em_quantify_sharded(
+        mesh, seg_rg, seg_ec, counts, rg_cnt, ec_len, init, iterations=20)
+
+    # single-device truth
+    mesh1 = data_mesh(1)
+    x_single = em_quantify_sharded(
+        mesh1, seg_rg, seg_ec, counts, rg_cnt, ec_len, init, iterations=20)
+    np.testing.assert_allclose(x_sharded, x_single, rtol=1e-4, atol=1e-6)
