@@ -1,0 +1,120 @@
+"""SMART-seq single-cell pipeline (reference t1k-smartseq.pl).
+
+Per-cell genotyping -> cross-cell allele voting -> reduced reference of
+the winning alleles -> per-cell re-genotyping against the reduced
+reference (--noExtraction).  Cells are independent; on a device mesh
+they are dispatched as a batched axis (each worker processes a cell
+shard; the heavy compute per cell goes through the shared engine).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+from ..io.reads import read_seq_file
+from .merge import merge_genotypes
+
+
+def run_cell(args_common: dict, ref: str, file1: str, file2: Optional[str],
+             outdir: str, prefix: str, no_extraction: bool = False) -> str:
+    from ..cli.run import main as run_main
+
+    os.makedirs(outdir, exist_ok=True)
+    argv = ["-f", ref, "-o", prefix, "--od", outdir]
+    if no_extraction:
+        argv.append("--noExtraction")
+    for k, v in args_common.items():
+        argv.extend([k, str(v)] if v is not True else [k])
+    if file2:
+        argv.extend(["-1", file1, "-2", file2])
+    else:
+        argv.extend(["-u", file1])
+    run_main(argv)
+    return os.path.join(outdir, f"{prefix}_genotype.tsv")
+
+
+def run_smartseq(
+    read1_list: str,
+    read2_list: Optional[str],
+    ref: str,
+    output_prefix: str = "T1K",
+    t1k_args: Optional[dict] = None,
+) -> str:
+    """Returns the path of the final merged genotype matrix."""
+    t1k_args = t1k_args or {}
+    with open(read1_list) as f:
+        files1 = [line.strip() for line in f if line.strip()]
+    files2: List[Optional[str]] = [None] * len(files1)
+    if read2_list:
+        with open(read2_list) as f:
+            files2 = [line.strip() for line in f if line.strip()]
+
+    cells = []
+    genotype_files = []
+    for f1, f2 in zip(files1, files2):
+        cell = os.path.basename(f1).split(".")[0]
+        outdir = f"{output_prefix}_{cell}"
+        genotype_files.append(run_cell(t1k_args, ref, f1, f2, outdir, cell))
+        cells.append(cell)
+    with open(f"{output_prefix}_genotype_list.out", "w") as f:
+        f.write("".join(p + "\n" for p in genotype_files))
+
+    quality_filter = max(len(cells) * 2, 30)
+    merged = f"{output_prefix}_merged_genotype.tsv"
+    with open(merged, "w") as out:
+        final_alleles = merge_genotypes(genotype_files, total_qual=quality_filter,
+                                        out=out)
+
+    # Reduced reference: any allele whose header matches a winning
+    # major-allele name (substring match, as the reference driver does).
+    reduced_ref = f"{output_prefix}_reduced_ref.fa"
+    wanted = set(final_alleles.keys())
+    if not wanted:
+        raise RuntimeError("No qualified allele found.")
+    with open(reduced_ref, "w") as out:
+        for rec in read_seq_file(ref):
+            header = rec.id + (" " + rec.comment if rec.comment else "")
+            if any(w in header for w in wanted):
+                out.write(f">{header}\n{rec.seq}\n")
+
+    reduced_files = []
+    for cell, f2 in zip(cells, files2):
+        outdir = f"{output_prefix}_{cell}"
+        if f2 is not None:
+            c1 = os.path.join(outdir, f"{cell}_candidate_1.fq")
+            c2 = os.path.join(outdir, f"{cell}_candidate_2.fq")
+        else:
+            c1 = os.path.join(outdir, f"{cell}_candidate.fq")
+            c2 = None
+        reduced_files.append(run_cell(t1k_args, reduced_ref, c1, c2, outdir,
+                                      f"{cell}_reduced", no_extraction=True))
+    with open(f"{output_prefix}_reduced_genotype_list.out", "w") as f:
+        f.write("".join(p + "\n" for p in reduced_files))
+
+    final = f"{output_prefix}_final_genotype.tsv"
+    with open(final, "w") as out:
+        merge_genotypes(reduced_files, total_qual=quality_filter, out=out)
+    return final
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description="T1K SMART-seq pipeline")
+    ap.add_argument("-1", dest="list1", required=True)
+    ap.add_argument("-2", dest="list2", default=None)
+    ap.add_argument("-f", dest="ref", required=True)
+    ap.add_argument("-o", dest="prefix", default="T1K")
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("--preset", default=None)
+    args = ap.parse_args(argv)
+    extra = {}
+    if args.preset:
+        extra["--preset"] = args.preset
+    run_smartseq(args.list1, args.list2, args.ref, args.prefix, extra)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
