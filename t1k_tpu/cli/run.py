@@ -122,8 +122,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             eopts.read2_start, eopts.read2_end = args.read2Range
         if args.bam:
             from ..io.bam import extract_from_bam
-            extract_from_bam(args.bam, args.coord, args.ref,
-                             f"{prefix}_candidate", eopts)
+            # the coordinate fasta doubles as the screening reference
+            # (run-t1k:350 passes it as bam-extractor's -f)
+            extract_from_bam(
+                args.bam, args.coord, args.coord, f"{prefix}_candidate",
+                abnormal_unmap_flag=args.abnormalUnmapFlag,
+                mate_id_len=args.mateIdSuffixLen if args.mateIdSuffixLen else -1,
+                bc_field=args.barcode[0] if args.barcode else "")
         else:
             log("Start to extract candidate reads from read files.")
             run_extractor(

@@ -1,0 +1,502 @@
+"""Minimal BAM I/O (BGZF container + BAM record codec) and the
+BAM candidate-extraction stage.
+
+No external htslib dependency: BGZF blocks are plain gzip members, and
+the BAM record layout is decoded directly.  Covers what the extraction
+stage needs — flags, tid/pos, CIGAR reference span, sequence/qual
+(reverse-complemented back to original orientation for reverse-strand
+records), and string aux tags (CB/UB style barcodes).
+
+Extraction behavior contract (reference BamExtractor.cpp): keep
+(a) unaligned templates (mate pairs arriving together unless
+--abnormalUnmapFlag), (b) aligned reads on alternative contigs (name
+contains '_' '.' or '*'), (c) aligned reads overlapping the gene
+intervals from the coordinate file; candidates are screened with the
+k-mer index (hit length 21 paired / 17 single, raised to readLen/5);
+paired data does a second pass to recover both mates by name.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+_CIGAR_OPS = "MIDNSHP=X"
+_SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
+_COMP = str.maketrans("ACGTN", "TGCAN")
+
+
+@dataclass
+class BamRecord:
+    name: str
+    flag: int
+    tid: int
+    pos: int
+    mapq: int
+    cigar: List[Tuple[int, int]]   # (op_len, op_char_index)
+    mtid: int
+    mpos: int
+    tlen: int
+    seq: str                       # as stored (alignment orientation)
+    qual: Optional[str]
+    tags: Dict[str, object]
+
+    @property
+    def is_paired(self) -> bool:
+        return bool(self.flag & 0x1)
+
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & 0x4) or self.tid < 0
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & 0x10)
+
+    @property
+    def mate_reverse(self) -> bool:
+        return bool(self.flag & 0x20)
+
+    @property
+    def is_first_mate(self) -> bool:
+        return bool(self.flag & 0x40)
+
+    @property
+    def is_primary(self) -> bool:
+        return (self.flag & 0x900) == 0
+
+    def is_template_aligned(self) -> bool:
+        """reference alignments.hpp:426-432."""
+        if (self.flag & 0xD) == 0xD or (self.flag & 0x5) == 0x4 or self.tid < 0:
+            return False
+        return True
+
+    def is_aligned(self) -> bool:
+        return not ((self.flag & 0x4) or self.tid < 0)
+
+    def ref_span(self) -> int:
+        """Reference bases consumed by the alignment (M/D/N/=/X)."""
+        span = 0
+        for ln, op in self.cigar:
+            if _CIGAR_OPS[op] in "MDN=X":
+                span += ln
+        return span
+
+    def original_seq(self) -> str:
+        """Read sequence in sequencing orientation
+        (alignments.hpp:527-563)."""
+        if self.is_reverse:
+            return self.seq[::-1].translate(_COMP)
+        return self.seq
+
+    def original_qual(self) -> Optional[str]:
+        if self.qual is None:
+            return None
+        return self.qual[::-1] if self.is_reverse else self.qual
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self.path = path
+        self._open()
+
+    def _open(self):
+        self._fh = gzip.open(self.path, "rb")
+        magic = self._fh.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{self.path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", self._fh.read(4))
+        self.header_text = self._fh.read(l_text).decode("ascii", "replace")
+        (n_ref,) = struct.unpack("<i", self._fh.read(4))
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._fh.read(4))
+            name = self._fh.read(l_name)[:-1].decode("ascii")
+            (l_ref,) = struct.unpack("<i", self._fh.read(4))
+            self.ref_names.append(name)
+            self.ref_lens.append(l_ref)
+        self.name_to_tid = {n: i for i, n in enumerate(self.ref_names)}
+
+    def rewind(self):
+        self._fh.close()
+        self._open()
+
+    def __iter__(self) -> Iterator[BamRecord]:
+        while True:
+            hdr = self._fh.read(4)
+            if len(hdr) < 4:
+                return
+            (block_size,) = struct.unpack("<i", hdr)
+            data = self._fh.read(block_size)
+            yield self._decode(data)
+
+    def _decode(self, d: bytes) -> BamRecord:
+        (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid,
+         mpos, tlen) = struct.unpack("<iiBBHHHiiii", d[:32])
+        off = 32
+        name = d[off:off + l_read_name - 1].decode("ascii")
+        off += l_read_name
+        cigar = []
+        for i in range(n_cigar):
+            (v,) = struct.unpack("<I", d[off:off + 4])
+            cigar.append((v >> 4, v & 0xF))
+            off += 4
+        nbytes = (l_seq + 1) // 2
+        seq_chars = []
+        for i in range(l_seq):
+            b = d[off + i // 2]
+            nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
+            seq_chars.append(_SEQ_NIBBLE[nib])
+        seq = "".join(seq_chars)
+        off += nbytes
+        qual_raw = d[off:off + l_seq]
+        qual = None
+        if l_seq and qual_raw[0] != 0xFF:
+            qual = "".join(chr(q + 33) for q in qual_raw)
+        off += l_seq
+        tags: Dict[str, object] = {}
+        while off < len(d):
+            tag = d[off:off + 2].decode("ascii")
+            typ = chr(d[off + 2])
+            off += 3
+            if typ == "Z":
+                end = d.index(0, off)
+                tags[tag] = d[off:end].decode("ascii")
+                off = end + 1
+            elif typ == "A":
+                tags[tag] = chr(d[off])
+                off += 1
+            elif typ in "cC":
+                tags[tag] = d[off]
+                off += 1
+            elif typ in "sS":
+                (tags[tag],) = struct.unpack("<H" if typ == "S" else "<h", d[off:off + 2])
+                off += 2
+            elif typ in "iI":
+                (tags[tag],) = struct.unpack("<I" if typ == "I" else "<i", d[off:off + 4])
+                off += 4
+            elif typ == "f":
+                (tags[tag],) = struct.unpack("<f", d[off:off + 4])
+                off += 4
+            elif typ == "B":
+                sub = chr(d[off])
+                (cnt,) = struct.unpack("<i", d[off + 1:off + 5])
+                size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+                off += 5 + cnt * size
+                tags[tag] = None
+            else:
+                break
+        return BamRecord(name, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
+                         seq, qual, tags)
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    comp = zlib.compress(payload, 6)[2:-4]
+    bsize = len(comp) + 25 + 1
+    out = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+           + struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2, bsize - 1)
+           + comp
+           + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload)))
+    return out
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class BamWriter:
+    """Writes a valid BAM (one BGZF block per call chunk) — used by the
+    test suite and the simulator; covers flags/cigar/seq/qual/Z tags."""
+
+    def __init__(self, path: str, ref_names: List[str], ref_lens: List[int],
+                 header_text: str = ""):
+        self._f = open(path, "wb")
+        hdr = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text.encode()
+        hdr += struct.pack("<i", len(ref_names))
+        for n, l in zip(ref_names, ref_lens):
+            nb = n.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+        self._f.write(_bgzf_block(hdr))
+        self._buf = b""
+
+    def write(self, rec: BamRecord) -> None:
+        name_b = rec.name.encode() + b"\x00"
+        data = struct.pack(
+            "<iiBBHHHiiii", rec.tid, rec.pos, len(name_b), rec.mapq,
+            0, len(rec.cigar), rec.flag, len(rec.seq), rec.mtid, rec.mpos,
+            rec.tlen)
+        data += name_b
+        for ln, op in rec.cigar:
+            data += struct.pack("<I", (ln << 4) | op)
+        nib = []
+        lookup = {c: i for i, c in enumerate(_SEQ_NIBBLE)}
+        s = rec.seq
+        for i in range(0, len(s), 2):
+            hi = lookup.get(s[i], 15) << 4
+            lo = lookup.get(s[i + 1], 15) if i + 1 < len(s) else 0
+            nib.append(hi | lo)
+        data += bytes(nib)
+        if rec.qual is not None:
+            data += bytes(ord(q) - 33 for q in rec.qual)
+        else:
+            data += b"\xff" * len(s)
+        for tag, val in rec.tags.items():
+            if isinstance(val, str) and len(val) > 1:
+                data += tag.encode() + b"Z" + val.encode() + b"\x00"
+        self._buf += struct.pack("<i", len(data)) + data
+        if len(self._buf) > 32000:
+            self._f.write(_bgzf_block(self._buf))
+            self._buf = b""
+
+    def close(self) -> None:
+        if self._buf:
+            self._f.write(_bgzf_block(self._buf))
+        self._f.write(BGZF_EOF)
+        self._f.close()
+
+
+# ---------------------------------------------------------------- extraction
+
+def _general_info(reader: BamReader, sample_max: int = 100000):
+    """Sample read length / fragment stats (alignments.hpp:597-690)."""
+    lens: List[int] = []
+    mate_diff: List[int] = []
+    total = 0
+    has_mate = 0
+    for rec in reader:
+        if not rec.is_primary:
+            continue
+        if len(lens) < sample_max:
+            lens.append(len(rec.seq))
+        if (len(mate_diff) < sample_max and rec.tid == rec.mtid
+                and rec.pos < rec.mpos and rec.is_reverse != rec.mate_reverse):
+            mate_diff.append(rec.mpos - rec.pos)
+        if rec.flag & 0x1:
+            has_mate += 1
+        total += 1
+        if total >= sample_max:
+            break
+    lens.sort()
+    read_len = lens[-1] if lens else 0
+    if has_mate >= total / 2 and total:
+        mate_diff.sort()
+        k = int(len(mate_diff) * 0.7)
+        k = max(k, 1)
+        vals = [d + read_len for d in mate_diff[:k]]
+        frag_len = sum(vals) // k
+        frag_stdev = int((sum(v * v for v in vals) // k - frag_len * frag_len) ** 0.5)
+        if frag_stdev == 0:
+            frag_stdev = 1
+    else:
+        frag_len = read_len
+        frag_stdev = 0
+    return read_len, frag_len, frag_stdev
+
+
+def _valid_alternative_chrom(name: str) -> bool:
+    return "_" in name or "." in name or "*" in name
+
+
+def _trim_name(name: str, trim_len: int) -> str:
+    if trim_len == -1:
+        if len(name) >= 2 and name[-2] == "/" and name[-1] in "12":
+            return name[:-2]
+        return name
+    return name[:len(name) - trim_len]
+
+
+def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
+                     output_prefix: str, opts=None,
+                     abnormal_unmap_flag: bool = False,
+                     mate_id_len: int = -1,
+                     bc_field: str = "", umi_field: str = "") -> dict:
+    from ..constants import EXTRACTOR_KMER_LENGTH, encode_seq
+    from ..core.extractor import is_low_complexity
+    from ..io.reads import read_seq_file
+    from ..io.refset import RefSet
+    from ..native import NativeEngine
+
+    if opts is not None:
+        bc_field = getattr(opts, "barcode_file", None) or bc_field
+
+    refset = RefSet(digit_units=-1)
+    for rec in read_seq_file(ref_fasta):
+        refset.add_allele(rec.id, rec.seq, rec.comment)
+    packed = refset.packed()
+
+    reader = BamReader(bam_path)
+    read_len, frag_len, frag_stdev = _general_info(reader)
+    reader.rewind()
+    paired = frag_stdev != 0
+
+    hit_len = 21 if paired else 17
+    if read_len // 5 > hit_len:
+        hit_len = read_len // 5
+    kmer_length = EXTRACTOR_KMER_LENGTH
+    inferred = refset.infer_kmer_length()
+    if inferred > kmer_length:
+        kmer_length = inferred
+        if kmer_length > hit_len:
+            hit_len = kmer_length
+    engine = NativeEngine(packed, kmer_length, hit_len_required=hit_len)
+
+    def screen(seq: str) -> bool:
+        if is_low_complexity(seq):
+            return False
+        import numpy as np
+        codes = encode_seq(seq)
+        return bool(engine.screen_batch(
+            codes, np.zeros(1, np.int64),
+            np.array([len(seq)], np.int32))[0])
+
+    # gene intervals
+    genes: List[Tuple[int, int, int]] = []
+    with open(coord_path) as f:
+        toks = f.read().split()
+    i = 0
+    while i + 4 < len(toks):
+        chrom, start, end = toks[i + 1], int(toks[i + 2]), int(toks[i + 3])
+        tid = reader.name_to_tid.get(chrom, -1)
+        genes.append((tid, start, end))
+        i += 6
+    genes.sort()
+
+    if paired:
+        fp1 = open(f"{output_prefix}_1.fq", "w")
+        fp2 = open(f"{output_prefix}_2.fq", "w")
+    else:
+        fp1 = open(f"{output_prefix}.fq", "w")
+        fp2 = None
+    fp_bc = open(f"{output_prefix}_bc.fa", "w") if bc_field else None
+
+    def out_rec(fp, name, seq, qual):
+        if qual is not None:
+            fp.write(f"@{name}\n{seq}\n+\n{qual}\n")
+        else:
+            fp.write(f">{name}\n{seq}\n")
+
+    def out_bc(name, rec):
+        if fp_bc is None:
+            return
+        bc = rec.tags.get(bc_field)
+        fp_bc.write(f">{name}\n{bc if bc else 'missing_barcode'}\n")
+
+    candidates: Dict[str, List] = {}
+    used_names: Dict[str, int] = {}
+    tag = 0
+    it = iter(reader)
+    n_out = 0
+    for rec in it:
+        if (not rec.is_template_aligned()) or (
+            rec.is_aligned()
+            and _valid_alternative_chrom(reader.ref_names[rec.tid])
+        ):
+            if (not rec.is_template_aligned()) and paired and not abnormal_unmap_flag:
+                # both mates of an unaligned template arrive together
+                seq1 = rec.original_seq()
+                qual1 = rec.original_qual()
+                name = _trim_name(rec.name, mate_id_len)
+                mate = next(it, None)
+                if mate is None or _trim_name(mate.name, mate_id_len) != name:
+                    raise RuntimeError(
+                        "Two reads from the unaligned fragment are not "
+                        "showing up together. Use --abnormalUnmapFlag.")
+                seq2 = mate.original_seq()
+                qual2 = mate.original_qual()
+                if (not is_low_complexity(seq1) and not is_low_complexity(seq2)
+                        and (screen(seq1) or screen(seq2))):
+                    if not rec.is_first_mate:
+                        seq1, seq2 = seq2, seq1
+                        qual1, qual2 = qual2, qual1
+                    out_rec(fp1, name, seq1, qual1)
+                    out_rec(fp2, name, seq2, qual2)
+                    out_bc(name, mate)
+                    n_out += 1
+                continue
+
+            seq = rec.original_seq()
+            if paired:
+                if screen(seq):
+                    candidates.setdefault(_trim_name(rec.name, mate_id_len),
+                                          [None, None, None, None])
+            else:
+                if rec.is_aligned() and rec.name in used_names:
+                    continue
+                if screen(seq):
+                    if rec.is_aligned():
+                        used_names[rec.name] = 1
+                    out_rec(fp1, rec.name, seq, rec.original_qual())
+                    out_bc(rec.name, rec)
+                    n_out += 1
+            continue
+
+        if not rec.is_aligned():
+            continue
+
+        start = rec.pos
+        end = rec.pos + rec.ref_span() - 1
+        while tag < len(genes) and (rec.tid > genes[tag][0] or (
+                rec.tid == genes[tag][0] and start > genes[tag][2])):
+            tag += 1
+        if tag >= len(genes):
+            continue
+        if rec.tid < genes[tag][0] or (
+                rec.tid == genes[tag][0] and end <= genes[tag][1]):
+            continue
+        seq = rec.original_seq()
+        if is_low_complexity(seq):
+            continue
+        if paired:
+            candidates.setdefault(_trim_name(rec.name, mate_id_len),
+                                  [None, None, None, None])
+        else:
+            if rec.name in used_names:
+                continue
+            used_names[rec.name] = 1
+            out_rec(fp1, rec.name, seq, rec.original_qual())
+            out_bc(rec.name, rec)
+            n_out += 1
+
+    if not paired:
+        fp1.close()
+        if fp_bc:
+            fp_bc.close()
+        return {"candidates": n_out}
+
+    # second pass: recover both mates by name
+    reader.rewind()
+    remaining = len(candidates)
+    for rec in reader:
+        if remaining == 0:
+            break
+        if not rec.is_primary:
+            continue
+        if not rec.is_template_aligned() and not abnormal_unmap_flag:
+            continue
+        name = _trim_name(rec.name, mate_id_len)
+        ent = candidates.get(name)
+        if ent is None:
+            continue
+        seq = rec.original_seq()
+        qual = rec.original_qual()
+        if rec.is_first_mate:
+            ent[0], ent[1] = seq, qual
+        else:
+            ent[2], ent[3] = seq, qual
+        if ent[0] is not None and ent[2] is not None:
+            out_rec(fp1, name, ent[0], ent[1])
+            out_rec(fp2, name, ent[2], ent[3])
+            out_bc(name, rec)
+            ent[0] = ent[2] = None
+            remaining -= 1
+            n_out += 1
+
+    fp1.close()
+    fp2.close()
+    if fp_bc:
+        fp_bc.close()
+    return {"candidates": n_out}

@@ -1,0 +1,120 @@
+"""BAM extraction parity: candidates from mapped-in-region, alt-contig
+and unaligned-template reads; byte-level golden generated from the
+reference extractor on a deterministic synthetic BAM."""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import DATA_DIR, GOLDEN_DIR
+
+CYP_RNA = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+) + "/cyp2d6_rna_seq.fa"
+
+
+def make_bam(tmp_path):
+    from t1k_tpu.constants import revcomp_str
+    from t1k_tpu.io.bam import BamRecord, BamWriter
+    from t1k_tpu.io.reads import read_seq_file
+    from t1k_tpu.tools.simulate import SimConfig, simulate_pairs
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    r1, r2 = simulate_pairs([by_name["CYP2D6*1"], by_name["CYP2D6*4"]],
+                            [1.0, 0.8], SimConfig(n_pairs=120, seed=87))
+    rng = np.random.default_rng(9)
+    bases = np.array(list("ACGT"))
+
+    coord = str(tmp_path / "coord.fa")
+    with open(coord, "w") as f:
+        for a in ("CYP2D6*1", "CYP2D6*4"):
+            f.write(f">{a} chr22 10000 11500 +\n{by_name[a].seq}\n")
+
+    M = 0
+
+    def pair(name, s1, q1, s2, q2, tid, p1, p2):
+        a = BamRecord(name, 0x63, tid, p1, 60, [(len(s1), M)], tid, p2,
+                      p2 - p1 + len(s2), s1, q1, {})
+        b = BamRecord(name, 0x93, tid, p2, 60, [(len(s2), M)], tid, p1,
+                      -(p2 - p1 + len(s2)), revcomp_str(s2), q2[::-1], {})
+        return a, b
+
+    chr22, alt, unmapped = [], [], []
+    for i in range(40):
+        p1 = 10050 + i * 20
+        a, b = pair(r1[i].id, r1[i].seq, r1[i].qual, r2[i].seq, r2[i].qual,
+                    0, p1, p1 + 150)
+        chr22 += [a, b]
+    for i in range(30):
+        s1 = "".join(rng.choice(bases, 100))
+        s2 = "".join(rng.choice(bases, 100))
+        p1 = 50000 + i * 30
+        a, b = pair(f"bg_{i}", s1, "I" * 100, s2, "I" * 100, 0, p1, p1 + 150)
+        chr22 += [a, b]
+    for i in range(40, 60):
+        p1 = 500 + (i - 40) * 25
+        a, b = pair(r1[i].id, r1[i].seq, r1[i].qual, r2[i].seq, r2[i].qual,
+                    1, p1, p1 + 150)
+        alt += [a, b]
+    for i in range(60, 85):
+        unmapped += [
+            BamRecord(r1[i].id, 0x4D, -1, -1, 0, [], -1, -1, 0,
+                      r1[i].seq, r1[i].qual, {}),
+            BamRecord(r1[i].id, 0x8D, -1, -1, 0, [], -1, -1, 0,
+                      r2[i].seq, r2[i].qual, {}),
+        ]
+    for i in range(15):
+        s1 = "".join(rng.choice(bases, 100))
+        s2 = "".join(rng.choice(bases, 100))
+        unmapped += [
+            BamRecord(f"ubg_{i}", 0x4D, -1, -1, 0, [], -1, -1, 0, s1,
+                      "I" * 100, {}),
+            BamRecord(f"ubg_{i}", 0x8D, -1, -1, 0, [], -1, -1, 0, s2,
+                      "I" * 100, {}),
+        ]
+    chr22.sort(key=lambda r: r.pos)
+    alt.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "test.bam")
+    w = BamWriter(bam, ["chr22", "chr22_alt"], [1000000, 100000],
+                  "@HD\tVN:1.6\tSO:coordinate\n")
+    for r in chr22 + alt + unmapped:
+        w.write(r)
+    w.close()
+    return bam, coord
+
+
+def test_bam_roundtrip(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.bam import BamReader
+
+    bam, _ = make_bam(tmp_path)
+    reader = BamReader(bam)
+    recs = list(reader)
+    assert len(recs) == 260
+    assert reader.ref_names == ["chr22", "chr22_alt"]
+    fwd = [r for r in recs if not r.is_reverse and r.is_aligned()]
+    assert all(r.original_seq() == r.seq for r in fwd)
+
+
+def test_bam_extraction(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.bam import extract_from_bam
+
+    bam, coord = make_bam(tmp_path)
+    prefix = str(tmp_path / "cand")
+    stats = extract_from_bam(bam, coord, coord, prefix)
+    # 40 in-region + 20 alt-contig + 25 unaligned cyp2d6 pairs
+    assert stats["candidates"] == 85
+    digests = {}
+    with open(os.path.join(GOLDEN_DIR, "bam_extract_digests.txt")) as f:
+        for line in f:
+            k, v = line.split()
+            digests[k] = v
+    for suffix in ("_1.fq", "_2.fq"):
+        with open(prefix + suffix, "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        assert got == digests[suffix], f"bam candidate {suffix} differs"
