@@ -99,6 +99,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.makedirs(args.outdir, exist_ok=True)
         prefix = os.path.join(args.outdir, prefix)
 
+    # serialize the resolved configuration next to the outputs
+    from ..config import PipelineConfig
+    cfg = PipelineConfig(
+        reference=args.ref, threads=args.threads, backend=args.backend,
+        extractor_similarity=extract_sim, similarity=geno_sim,
+        relax_intron_align=relax, max_assign_cnt=args.maxAssign,
+        filter_frac=args.frac, filter_cov=args.cov,
+        cross_gene_rate=args.crossGeneRate,
+        min_squarem_alpha=args.squaremMinAlpha,
+        allele_digit_units=args.alleleDigitUnits,
+        allele_delimiter=args.alleleDelimiter,
+        allele_whitelist=args.alleleWhitelist,
+        barcode_file=args.barcode[0] if args.barcode else None,
+        barcode_whitelist=args.barcodeWhitelist,
+        var_max_group=args.varMaxGroup,
+        skip_post_analysis=args.skipPostAnalysis,
+        preset=args.preset, stage=args.stage,
+    )
+    cfg.save(f"{prefix}_config.json")
+
     cand1 = f"{prefix}_candidate_1.fq"
     cand2 = f"{prefix}_candidate_2.fq"
     cand = f"{prefix}_candidate.fq"

@@ -133,10 +133,30 @@ def run_extractor(
                 (r.seq for r in bc_recs), opts.barcode_start, opts.barcode_end,
                 opts.barcode_revcomp)
 
+    # Device prefilter (backend "tpu"): a conservative k-mer classification
+    # pass on the TPU discards the bulk of off-target reads (provably no
+    # false negatives); the native engine then re-screens survivors
+    # exactly, keeping the output byte-identical.
+    device_table = None
+    if opts.backend == "tpu":
+        from ..ops.kmer import DeviceKmerTable
+        device_table = DeviceKmerTable.build(packed, kmer_length)
+
     # Screen: low-complexity prefilter, then batched k-mer chained screen.
     def screen(recs: List[SeqRecord]) -> np.ndarray:
         flags = np.zeros(len(recs), dtype=np.uint8)
         todo = [i for i, r in enumerate(recs) if not is_low_complexity(r.seq)]
+        if todo and device_table is not None:
+            from ..ops.kmer import prefilter_flags
+            max_len = max(len(recs[i].seq) for i in todo)
+            padded = np.zeros((len(todo), max_len), dtype=np.int8)
+            plens = np.zeros(len(todo), dtype=np.int32)
+            for j, i in enumerate(todo):
+                c = encode_seq(recs[i].seq)
+                padded[j, :len(c)] = c
+                plens[j] = len(c)
+            keep = prefilter_flags(device_table, padded, plens, hit_len)
+            todo = [i for j, i in enumerate(todo) if keep[j]]
         if todo:
             codes = np.concatenate([encode_seq(recs[i].seq) for i in todo])
             lens = np.array([len(recs[i].seq) for i in todo], dtype=np.int32)

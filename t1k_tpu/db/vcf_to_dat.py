@@ -60,7 +60,9 @@ def _revcomp(s: str) -> str:
 
 
 def vcf_to_dat(genome_fa: str, gtf: str, combined_vcf: str, out: TextIO,
-               padding: int = 500) -> int:
+               padding: int = 500, eof_flush: bool = False) -> int:
+    # NOTE: like the reference, the final transcript of the GTF is only
+    # recorded when a later transcript follows; eof_flush=True fixes this.
     genome, has_chr_prefix = _read_genome(genome_fa)
 
     # alleles and their variant lines
@@ -122,7 +124,8 @@ def vcf_to_dat(genome_fa: str, gtf: str, combined_vcf: str, out: TextIO,
             elif not has_chr_prefix and chrom.startswith("c"):
                 chrom = chrom[3:]
             rng.extend([chrom, int(cols[3]) - 1, int(cols[4]) - 1])
-    flush()
+    if eof_flush:
+        flush()
 
     n = 0
     for allele, allele_vcf in vcf.items():

@@ -121,9 +121,21 @@ def _classify(codes, lens, table, k: int, size: int, max_probe: int = 32):
 
 
 def classify_reads(table: DeviceKmerTable, codes: np.ndarray, lens: np.ndarray):
-    """Per-read matching-window counts (fwd, rc) for a padded batch."""
-    return _classify(jnp.asarray(codes, jnp.int32), jnp.asarray(lens, jnp.int32),
-                     table.table, table.k, table.size)
+    """Per-read matching-window counts (fwd, rc) for a padded batch.
+
+    The batch is padded up to a power-of-two row count so repeated calls
+    reuse the compiled kernel."""
+    n = codes.shape[0]
+    rows = 256
+    while rows < n:
+        rows *= 2
+    if rows != n:
+        codes = np.vstack([codes, np.zeros((rows - n, codes.shape[1]), codes.dtype)])
+        lens = np.concatenate([lens, np.zeros(rows - n, lens.dtype)])
+    fwd, rc = _classify(jnp.asarray(codes, jnp.int32),
+                        jnp.asarray(lens, jnp.int32),
+                        table.table, table.k, table.size)
+    return fwd[:n], rc[:n]
 
 
 def prefilter_flags(table: DeviceKmerTable, codes: np.ndarray,
