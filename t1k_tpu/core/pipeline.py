@@ -174,10 +174,17 @@ def run_genotyper(
             genotyper.set_allele_whitelist(f.read().split())
     whitelist = genotyper.whitelist if opts.allele_whitelist else None
 
+    from ..utils.observability import metrics, reset_metrics, stage
+    reset_metrics()
+
     log(f"Found {read_cnt} read fragments. Start read assignment.")
     all_seqs = seqs1 + seqs2
-    uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs)
-    overlap_lists = overlap_lists_from_records(rec, off)
+    with stage("read_assignment") as ctx:
+        uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs)
+        overlap_lists = overlap_lists_from_records(rec, off)
+        ctx["read_count"] = len(all_seqs)
+        ctx["unique_read_count"] = len(uniq)
+        ctx["alignment_count"] = int(rec.shape[0])
     log("Finish read end assignments.")
 
     ctx = RefContext(refset, hit_len_required=31,
@@ -205,9 +212,14 @@ def run_genotyper(
         if frags:
             aligned_flags[i] = True
 
-    aligned_fragment_cnt = genotyper.coalesce(per_read_assignments)
-    pos_weight = engine.pos_weight()
-    genotyper.finalize(pos_weight, packed)
+    with stage("fragment_assignment") as ctx:
+        aligned_fragment_cnt = genotyper.coalesce(per_read_assignments)
+        pos_weight = engine.pos_weight()
+        genotyper.finalize(pos_weight, packed)
+        ctx["fragment_count"] = read_cnt
+        ctx["aligned_fragment_count"] = aligned_fragment_cnt
+        ctx["read_group_count"] = len(genotyper.read_groups)
+        ctx["equivalence_class_count"] = len(genotyper.ec_to_alleles)
     log(f"Finish read fragment assignments. {aligned_fragment_cnt} read fragments "
         f"can be assigned.")
 
@@ -215,10 +227,13 @@ def run_genotyper(
         genotyper.init_abundance_from_file(opts.abundance_file)
         em_iters = 0
     else:
-        em_iters = genotyper.quantify()
+        with stage("em_quantification") as ctx:
+            em_iters = genotyper.quantify()
+            ctx["em_iteration_count"] = em_iters
         log(f"Finish allele quantification in {em_iters} EM iterations.")
-    genotyper.remove_low_likelihood()
-    genotyper.select_alleles()
+    with stage("allele_selection"):
+        genotyper.remove_low_likelihood()
+        genotyper.select_alleles()
 
     # ------------------------------------------------------------ outputs
     genotyper.write_genotype_tsv(f"{output_prefix}_genotype.tsv")
@@ -246,6 +261,7 @@ def run_genotyper(
             for row in assign_rows:
                 f.write(row + "\n")
 
+    metrics().save(f"{output_prefix}_metrics.json")
     log("Genotyping finishes.")
     return GenotypeResult(
         genotyper=genotyper, refset=refset, aligned_flags=aligned_flags,

@@ -160,3 +160,12 @@ def test_sharded_em_multichip():
     x_single = em_quantify_sharded(
         mesh1, seg_rg, seg_ec, counts, rg_cnt, ec_len, init, iterations=20)
     np.testing.assert_allclose(x_sharded, x_single, rtol=1e-4, atol=1e-6)
+
+
+def test_band_pallas_interpret_matches():
+    from t1k_tpu.ops.align_pallas_band import banded_scores_band
+
+    tc, tl, pc, pl, want = _golden_batch()
+    got = banded_scores_band(tc[:64], tl[:64], pc[:64], pl[:64], G=1,
+                             interpret=True)
+    assert (np.asarray(got) == want[:64]).all()
