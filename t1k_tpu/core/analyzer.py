@@ -113,6 +113,7 @@ def run_analyzer(
         packed, GENOTYPER_KMER_LENGTH,
         ref_seq_similarity=opts.ref_seq_similarity,
         relax_intron_align=opts.relax_intron_align,
+        threads=opts.threads,
     )
 
     ids1, seqs1 = [], []

@@ -120,6 +120,7 @@ def run_extractor(
         packed, kmer_length,
         ref_seq_similarity=opts.ref_seq_similarity,
         hit_len_required=hit_len,
+        threads=opts.threads,
     )
 
     corrector = None

@@ -128,6 +128,7 @@ def run_genotyper(
         packed, GENOTYPER_KMER_LENGTH,
         ref_seq_similarity=opts.ref_seq_similarity,
         relax_intron_align=opts.relax_intron_align,
+        threads=opts.threads,
     )
 
     has_mate = reads2 is not None

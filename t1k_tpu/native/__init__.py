@@ -43,6 +43,7 @@ _lib.t1k_engine_create.argtypes = [
 ]
 _lib.t1k_engine_destroy.argtypes = [ct.c_void_p]
 _lib.t1k_engine_set_hit_len.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_engine_set_threads.argtypes = [ct.c_void_p, ct.c_int32]
 _lib.t1k_assign_batch.restype = ct.c_int64
 _lib.t1k_assign_batch.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
@@ -96,6 +97,7 @@ class NativeEngine:
         ref_seq_similarity: float = 0.8,
         hit_len_required: int = 31,
         relax_intron_align: bool = False,
+        threads: int = 1,
     ):
         self._packed = packed
         total = int(packed.seq_codes.shape[0])
@@ -108,6 +110,8 @@ class NativeEngine:
             ref_seq_similarity, hit_len_required, int(relax_intron_align),
         )
         self.kmer_length = kmer_length
+        if threads > 1:
+            _lib.t1k_engine_set_threads(self._handle, threads)
 
     def __del__(self):
         handle = getattr(self, "_handle", None)
@@ -117,6 +121,9 @@ class NativeEngine:
 
     def set_hit_len_required(self, h: int) -> None:
         _lib.t1k_engine_set_hit_len(self._handle, h)
+
+    def set_threads(self, n: int) -> None:
+        _lib.t1k_engine_set_threads(self._handle, n)
 
     def assign_batch(
         self,

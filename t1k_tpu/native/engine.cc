@@ -21,6 +21,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -291,7 +292,12 @@ struct Seed {
   int32_t b;  // seq offset
 };
 
+inline void AtomicAdd(int32_t* p, int32_t v) {
+  __atomic_fetch_add(p, v, __ATOMIC_RELAXED);
+}
+
 struct Engine {
+  int nThreads = 1;
   // Packed reference.
   const int8_t* codes;
   std::vector<int64_t> starts;
@@ -586,7 +592,8 @@ static bool SpanLowComplexity(const int8_t* r, int start, int end) {
 // banded DP (SeqSet.hpp:1594-1912).
 static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
                           int len, std::vector<Overlap>* overlaps,
-                          std::vector<std::vector<Seed>>* overlapSeeds) {
+                          std::vector<std::vector<Seed>>* overlapSeeds,
+                          AlignScratch* scratch) {
   const int k = eng.index.k();
   int cnt = (int)overlaps->size();
   if (cnt == 0) return;
@@ -625,7 +632,7 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
           matchCnt += 2 * k;
           int score = BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
                                         r + prev.a + k, cur.a - (prev.a + k), 5,
-                                        &edits, &eng.scratch);
+                                        &edits, scratch);
           (void)score;
           EditStats st = CountEdits(edits);
           matchCnt += 2 * st.match;
@@ -650,7 +657,7 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
           matchCnt += 2 * k;
           BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
                             r + prev.a + k, cur.a - (prev.a + k), 5, &edits,
-                            &eng.scratch);
+                            scratch);
           EditStats st = CountEdits(edits);
           matchCnt += 2 * st.match;
           mismatchCnt += st.mismatch;
@@ -681,7 +688,7 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
 // separators and at reference boundaries (SeqSet.hpp:1994-2099).
 // Returns whether the extension passes the similarity floor.
 static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& o,
-                          Overlap* out) {
+                          Overlap* out, AlignScratch* scratch) {
   const int8_t* seq = eng.Seq(o.seq);
   int seqLen = eng.SeqLen(o.seq);
   std::vector<int8_t> edits;
@@ -697,7 +704,7 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
     }
   }
   BandedGlobalAlign(seq + o.seqStart - leftOver, leftOver, r + o.readStart - leftOver,
-                    leftOver, 5, &edits, &eng.scratch);
+                    leftOver, 5, &edits, scratch);
   EditStats st = CountEdits(edits);
   int matchCnt = st.match;
 
@@ -712,7 +719,7 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
     }
   }
   BandedGlobalAlign(seq + o.seqEnd + 1, rightOver, r + o.readEnd + 1, rightOver, 5,
-                    &edits, &eng.scratch);
+                    &edits, scratch);
   st = CountEdits(edits);
   matchCnt += st.match;
 
@@ -740,7 +747,7 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
 
 // Full read-end assignment (reference SeqSet.hpp:2119-2303).
 static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
-                       std::vector<Overlap>* out) {
+                       std::vector<Overlap>* out, AlignScratch* scratch) {
   out->clear();
   const int k = eng.index.k();
   if (len < k || eng.nSeqs == 0) return;
@@ -758,7 +765,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   std::vector<Overlap> overlaps;
   std::vector<std::vector<Seed>> seeds;
   BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
-  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds);
+  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds, scratch);
   if (overlaps.empty()) return;
 
   std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
@@ -775,7 +782,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
         (!needClip || o.similarity < 0.95))
       continue;
     Overlap e;
-    if (ExtendOverlap(eng, r, len, o, &e)) {
+    if (ExtendOverlap(eng, r, len, o, &e, scratch)) {
       ext.push_back(e);
       if (!onlyConsiderClip && (goodMatchCnt == -1 || o.matchCnt > goodMatchCnt))
         goodMatchCnt = o.matchCnt;
@@ -799,7 +806,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
       }
       const int8_t* seq = eng.Seq(e.seq);
       BandedGlobalAlign(seq + e.seqStart, e.seqEnd - e.seqStart + 1, r + e.readStart,
-                        e.readEnd - e.readStart + 1, 5, &edits, &eng.scratch);
+                        e.readEnd - e.readStart + 1, 5, &edits, scratch);
       const uint8_t* exon = eng.exonMask + eng.SeqStart(e.seq);
       const int seqLenClamp = eng.SeqLen(e.seq) - 1;
       if (eng.relaxIntron) {
@@ -823,7 +830,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
         int32_t* pw = eng.posWeight.data() + 4 * eng.SeqStart(e.seq);
         for (int8_t op : edits) {
           if (op == kEditMatch && r[readPos] < 4)
-            pw[4 * refPos + r[readPos]] += weight;
+            AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
           if (op != kEditInsert) ++refPos;
           if (op != kEditDelete) ++readPos;
         }
@@ -843,6 +850,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
 // chained, then tested against the read-level mismatch budget
 // (SeqSet.hpp:1915-1990).
 static bool HasHitInSet(Engine& eng, const int8_t* read, int len) {
+  // (seed/chain only; no DP scratch needed)
   const int k = eng.index.k();
   if (len < k) return false;
   std::vector<int8_t> rc(len);
@@ -926,26 +934,57 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
                          const int64_t* read_starts, const int32_t* read_lens,
                          const int32_t* weights, int64_t n_reads) {
   auto& eng = *static_cast<t1k::Engine*>(ep);
+  int nt = eng.nThreads;
+  if (nt < 1) nt = 1;
+  if (nt > n_reads) nt = n_reads > 0 ? (int)n_reads : 1;
+
+  std::vector<std::vector<double>> shardResults(nt);
+  std::vector<std::vector<int64_t>> shardCounts(nt);
+
+  auto worker = [&](int tid) {
+    t1k::AlignScratch scratch;
+    std::vector<t1k::Overlap> assign;
+    int64_t start = n_reads / nt * tid;
+    int64_t end = (tid == nt - 1) ? n_reads : n_reads / nt * (tid + 1);
+    for (int64_t i = start; i < end; ++i) {
+      t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i],
+                      weights[i], &assign, &scratch);
+      for (const t1k::Overlap& o : assign) {
+        double rec[11] = {(double)o.seq,        (double)o.readStart,
+                          (double)o.readEnd,    (double)o.seqStart,
+                          (double)o.seqEnd,     (double)o.strand,
+                          (double)o.matchCnt,   (double)o.relaxedMatchCnt,
+                          o.similarity,         (double)o.leftClip,
+                          (double)o.rightClip};
+        shardResults[tid].insert(shardResults[tid].end(), rec, rec + 11);
+      }
+      shardCounts[tid].push_back((int64_t)assign.size());
+    }
+  };
+
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+
   eng.results.clear();
   eng.resultOffsets.clear();
   eng.resultOffsets.reserve(n_reads + 1);
   eng.resultOffsets.push_back(0);
-  std::vector<t1k::Overlap> assign;
-  for (int64_t i = 0; i < n_reads; ++i) {
-    t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i], weights[i],
-                    &assign);
-    for (const t1k::Overlap& o : assign) {
-      double rec[11] = {(double)o.seq,        (double)o.readStart,
-                        (double)o.readEnd,    (double)o.seqStart,
-                        (double)o.seqEnd,     (double)o.strand,
-                        (double)o.matchCnt,   (double)o.relaxedMatchCnt,
-                        o.similarity,         (double)o.leftClip,
-                        (double)o.rightClip};
-      eng.results.insert(eng.results.end(), rec, rec + 11);
-    }
-    eng.resultOffsets.push_back((int64_t)(eng.results.size() / 11));
+  for (int t = 0; t < nt; ++t) {
+    eng.results.insert(eng.results.end(), shardResults[t].begin(),
+                       shardResults[t].end());
+    for (int64_t c : shardCounts[t])
+      eng.resultOffsets.push_back(eng.resultOffsets.back() + c);
   }
   return (int64_t)(eng.results.size() / 11);
+}
+
+void t1k_engine_set_threads(void* ep, int32_t n) {
+  static_cast<t1k::Engine*>(ep)->nThreads = n;
 }
 
 const double* t1k_get_results(void* ep) {
@@ -965,9 +1004,20 @@ void t1k_screen_batch(void* ep, const int8_t* read_codes,
                       const int64_t* read_starts, const int32_t* read_lens,
                       int64_t n_reads, uint8_t* out_flags) {
   auto& eng = *static_cast<t1k::Engine*>(ep);
-  for (int64_t i = 0; i < n_reads; ++i)
-    out_flags[i] =
-        t1k::HasHitInSet(eng, read_codes + read_starts[i], read_lens[i]) ? 1 : 0;
+  int nt = eng.nThreads;
+  if (nt < 1) nt = 1;
+  auto worker = [&](int tid) {
+    for (int64_t i = tid; i < n_reads; i += nt)
+      out_flags[i] = t1k::HasHitInSet(eng, read_codes + read_starts[i],
+                                      read_lens[i]) ? 1 : 0;
+  };
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
 }
 
 // Standalone banded global alignment; returns score, writes the edit walk

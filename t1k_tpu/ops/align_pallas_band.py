@@ -134,6 +134,7 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("G", "ML", "Lp", "interpret"))
 def _band_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
                interpret: bool = False):
+    """Single-block call ([G, ...] inputs) — used by tests."""
     return pl.pallas_call(
         functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
@@ -141,6 +142,59 @@ def _band_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
         out_shape=jax.ShapeDtypeStruct((G, LANES), jnp.int32),
         interpret=interpret,
     )(tl, plen, t_pad, p_pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "ML", "Lp", "Lt", "Lt_pad", "Lp_pad", "nblocks",
+                     "interpret"))
+def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
+               Lt: int, Lt_pad: int, Lp_pad: int, nblocks: int,
+               interpret: bool = False):
+    """Whole-batch path: packs/transposes on device and runs one
+    pallas_call with a grid over pair blocks."""
+    P = G * LANES
+    B = t_codes.shape[0]
+    lead = ML + 1
+
+    tb = jnp.zeros((nblocks * P, Lt_pad), jnp.int32)
+    tb = tb.at[:B, lead:lead + Lt].set(t_codes.astype(jnp.int32))
+    pb = jnp.zeros((nblocks * P, Lp_pad), jnp.int32)
+    pb = pb.at[:B, :Lp].set(p_codes.astype(jnp.int32))
+    tl = jnp.zeros(nblocks * P, jnp.int32).at[:B].set(t_lens.astype(jnp.int32))
+    pln = jnp.zeros(nblocks * P, jnp.int32).at[:B].set(p_lens.astype(jnp.int32))
+
+    t_pad = tb.reshape(nblocks * G, LANES, Lt_pad).transpose(0, 2, 1)
+    p_pad = pb.reshape(nblocks * G, LANES, Lp_pad).transpose(0, 2, 1)
+    tl = tl.reshape(nblocks * G, 1, LANES)
+    pln = pln.reshape(nblocks * G, 1, LANES)
+
+    out = pl.pallas_call(
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lt_pad, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, Lp_pad, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * G, LANES), jnp.int32),
+        interpret=interpret,
+    )(tl, pln, t_pad, p_pad)
+    scores = out.reshape(-1)[:B]
+
+    single = (t_lens == 1) & (p_lens == 1)
+    eq = ((t_codes[:, 0] == p_codes[:, 0]) | (t_codes[:, 0] == 4)
+          | (p_codes[:, 0] == 4))
+    scores = jnp.where(single, jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH),
+                       scores)
+    return jnp.where((t_lens == 0) | (p_lens == 0), 0, scores)
 
 
 def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
@@ -162,35 +216,7 @@ def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     Lt_pad = _round_up(max(Lt + lead, Lp + W + 1) + 1, 8)
     Lp_pad = _round_up(max(Lp, 8), 8)
     nblocks = -(-B // P)
-    scores = np.zeros(B, np.int32)
-    for blk in range(nblocks):
-        s = blk * P
-        e = min(s + P, B)
-        n = e - s
-        tb = np.zeros((P, Lt_pad), np.int32)
-        pb = np.zeros((P, Lp_pad), np.int32)
-        tb[:n, lead:lead + Lt] = t_codes[s:e]
-        pb[:n, :Lp] = p_codes[s:e]
-        tl = np.zeros(P, np.int32)
-        pln = np.zeros(P, np.int32)
-        tl[:n] = t_lens[s:e]
-        pln[:n] = p_lens[s:e]
-        t_pad = np.ascontiguousarray(
-            tb.reshape(G, LANES, Lt_pad).transpose(0, 2, 1))
-        p_pad = np.ascontiguousarray(
-            pb.reshape(G, LANES, Lp_pad).transpose(0, 2, 1))
-        out = np.asarray(_band_call(
-            jnp.asarray(tl.reshape(G, 1, LANES)),
-            jnp.asarray(pln.reshape(G, 1, LANES)),
-            jnp.asarray(t_pad), jnp.asarray(p_pad), G, ML, Lp,
-            interpret=interpret))
-        scores[s:e] = out.reshape(-1)[:n]
-
-    single = (t_lens == 1) & (p_lens == 1)
-    if single.any():
-        eq = ((t_codes[:, 0] == p_codes[:, 0]) | (t_codes[:, 0] == 4)
-              | (p_codes[:, 0] == 4))
-        scores = np.where(single, np.where(eq, SCORE_MATCH, SCORE_MISMATCH),
-                          scores)
-    scores = np.where((t_lens == 0) | (p_lens == 0), 0, scores)
-    return scores
+    return np.asarray(_band_grid(
+        jnp.asarray(t_codes), jnp.asarray(t_lens), jnp.asarray(p_codes),
+        jnp.asarray(p_lens), G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks,
+        interpret=interpret))
