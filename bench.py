@@ -48,7 +48,7 @@ def bench_native_baseline(n=4000):
     return n / dt
 
 
-def bench_tpu(B=65536, secs=3.0):
+def bench_tpu(B=32768, n_reps=7):
     import jax
     import jax.numpy as jnp
 
@@ -62,26 +62,29 @@ def bench_tpu(B=65536, secs=3.0):
     nblocks = -(-B // P)
     Lt_pad = _round_up(max(Lt + ML + 1, Lp + W + 1) + 1, 8)
     Lp_pad = _round_up(Lp, 8)
-    # several distinct device-resident batches, cycled so no layer of the
-    # stack can serve a cached result
-    n_variants = 4
-    variants = []
-    for v in range(n_variants):
-        tc, tl, pc, pl = make_batch(B, seed=10 + v)
-        variants.append((jnp.asarray(tc), jnp.asarray(tl), jnp.asarray(pc),
-                         jnp.asarray(pl)))
+    tc, tl, pc, pl = make_batch(B)
+    args = (jnp.asarray(tl), jnp.asarray(pc), jnp.asarray(pl))
 
-    def fn(v):
-        return _band_grid(*variants[v], G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks)
+    # distinct device-resident text batches per rep (so no layer of the
+    # stack can serve a cached result), timed to full host
+    # materialization (async dispatch otherwise returns early)
+    @jax.jit
+    def derive(t, v):
+        return (t + v) % 4
 
-    for v in range(n_variants):
-        jax.block_until_ready(fn(v))  # compile + warm
+    base = jnp.asarray(tc)
+    variants = [jnp.asarray(np.asarray(derive(base, v)))
+                for v in range(n_reps + 1)]
+
+    def run(v):
+        return np.asarray(_band_grid(
+            variants[v], *args, G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks))
+
+    run(0)  # compile + warm
     t0 = time.perf_counter()
-    reps = 0
-    while time.perf_counter() - t0 < secs:
-        jax.block_until_ready(fn(reps % n_variants))
-        reps += 1
-    dt = (time.perf_counter() - t0) / reps
+    for v in range(1, n_reps + 1):
+        run(v)
+    dt = (time.perf_counter() - t0) / n_reps
     return B / dt
 
 

@@ -372,6 +372,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         fp1 = open(f"{output_prefix}.fq", "w")
         fp2 = None
     fp_bc = open(f"{output_prefix}_bc.fa", "w") if bc_field else None
+    fp_umi = open(f"{output_prefix}_umi.fa", "w") if umi_field else None
 
     def out_rec(fp, name, seq, qual):
         if qual is not None:
@@ -380,10 +381,12 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             fp.write(f">{name}\n{seq}\n")
 
     def out_bc(name, rec):
-        if fp_bc is None:
-            return
-        bc = rec.tags.get(bc_field)
-        fp_bc.write(f">{name}\n{bc if bc else 'missing_barcode'}\n")
+        if fp_bc is not None:
+            bc = rec.tags.get(bc_field)
+            fp_bc.write(f">{name}\n{bc if bc else 'missing_barcode'}\n")
+        if fp_umi is not None:
+            umi = rec.tags.get(umi_field)
+            fp_umi.write(f">{name}\n{umi if umi else 'missing_barcode'}\n")
 
     candidates: Dict[str, List] = {}
     used_names: Dict[str, int] = {}
@@ -465,6 +468,8 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         fp1.close()
         if fp_bc:
             fp_bc.close()
+        if fp_umi:
+            fp_umi.close()
         return {"candidates": n_out}
 
     # second pass: recover both mates by name
@@ -499,4 +504,6 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     fp2.close()
     if fp_bc:
         fp_bc.close()
+    if fp_umi:
+        fp_umi.close()
     return {"candidates": n_out}
