@@ -162,6 +162,76 @@ class Genotyper:
                     tgt[j].adjust_weight = np.float32(tgt[j].adjust_weight + a.adjust_weight)
         return ret
 
+    def coalesce_arrays(self, rec: np.ndarray, counts: np.ndarray) -> int:
+        """Array-based coalescing over the native fragment stage's output
+        (records [N,6]: allele/start/end/weight/adjust/qual).  Semantics
+        identical to coalesce(); group state is held in numpy arrays
+        (float32 accumulation) and materialized into ReadAssignment lists
+        at the end."""
+        off = np.zeros(len(counts) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(counts)
+        groups: List[dict] = []
+        fp_to_idx: Dict[int, List[int]] = {}
+        ret = 0
+        allele_cnt = self.allele_cnt
+        for i in range(len(counts)):
+            s, e = off[i], off[i + 1]
+            if s == e:
+                continue
+            ret += 1
+            sl = rec[s:e]
+            order = np.argsort(sl[:, 0], kind="stable")
+            sl = sl[order]
+            alleles = sl[:, 0].astype(np.int64)
+            quals = sl[:, 5].astype(np.float32)
+            fp = 0
+            for a in alleles:
+                fp = (fp * allele_cnt + int(a)) % READ_GROUP_FINGERPRINT_MOD
+            add_to = -1
+            for idx in fp_to_idx.get(fp, ()):
+                g = groups[idx]
+                if (len(g["alleles"]) == len(alleles)
+                        and np.array_equal(g["alleles"], alleles)
+                        and np.array_equal(g["quals"], quals)):
+                    add_to = idx
+                    break
+            if add_to == -1:
+                groups.append({
+                    "alleles": alleles,
+                    "quals": quals,
+                    "starts": sl[:, 1].astype(np.int64),
+                    "ends": sl[:, 2].astype(np.int64),
+                    "weights": sl[:, 3].astype(np.float32),
+                    "adjusts": sl[:, 4].astype(np.float32),
+                })
+                fp_to_idx.setdefault(fp, []).append(len(groups) - 1)
+            else:
+                g = groups[add_to]
+                starts = sl[:, 1].astype(np.int64)
+                ends = sl[:, 2].astype(np.int64)
+                q1 = quals == 1
+                g["starts"] = np.where(q1 & (starts < g["starts"]),
+                                       starts, g["starts"])
+                # reference quirk: a smaller incoming end stores the
+                # incoming *start* (Genotyper.hpp:893-894)
+                g["ends"] = np.where(q1 & (ends < g["ends"]),
+                                     starts, g["ends"])
+                g["weights"] = g["weights"] + sl[:, 3].astype(np.float32)
+                g["adjusts"] = g["adjusts"] + sl[:, 4].astype(np.float32)
+        base = len(self.read_groups)
+        for gi, g in enumerate(groups):
+            self.read_groups.append([
+                ReadAssignment(
+                    allele_idx=int(g["alleles"][j]),
+                    start=int(g["starts"][j]), end=int(g["ends"][j]),
+                    weight=np.float32(g["weights"][j]),
+                    qual=np.float32(g["quals"][j]),
+                    adjust_weight=np.float32(g["adjusts"][j]),
+                ) for j in range(len(g["alleles"]))
+            ])
+        del base
+        return ret
+
     @staticmethod
     def _same_assignment(a: List[ReadAssignment], b: List[ReadAssignment]) -> bool:
         if len(a) != len(b):

@@ -182,45 +182,44 @@ def run_genotyper(
     all_seqs = seqs1 + seqs2
     with stage("read_assignment") as ctx:
         uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs)
-        overlap_lists = overlap_lists_from_records(rec, off)
         ctx["read_count"] = len(all_seqs)
         ctx["unique_read_count"] = len(uniq)
         ctx["alignment_count"] = int(rec.shape[0])
+    del rec, off  # per-read results stay inside the engine
     log("Finish read end assignments.")
 
-    ctx = RefContext(refset, hit_len_required=31,
-                     relax_intron_align=opts.relax_intron_align,
-                     ref_seq_similarity=opts.ref_seq_similarity)
+    has_n = np.array(
+        [("N" in s1) or (has_mate and "N" in s2)
+         for s1, s2 in zip(seqs1, seqs2 if has_mate else [""] * read_cnt)],
+        dtype=np.uint8)
+    uid1 = group_of[:read_cnt]
+    uid2 = (group_of[read_cnt:] if has_mate
+            else np.full(read_cnt, -1, dtype=np.int64))
 
-    has_n1 = [("N" in s) for s in seqs1]
-    has_n2 = [("N" in s) for s in seqs2]
-
-    aligned_flags = [False] * read_cnt
-    assign_rows = [] if opts.output_read_assignment else None
-    aligned_fragment_cnt = 0
-    per_read_assignments = []
-    for i in range(read_cnt):
-        ov1 = overlap_lists[group_of[i]]
-        ov2 = overlap_lists[group_of[read_cnt + i]] if has_mate else None
-        has_n = has_n1[i] or (has_mate and has_n2[i])
-        frags = fragment_assign(ctx, ov1, ov2, has_n, has_mate)
-        ra = set_read_assignments(ctx, frags, whitelist, opts.max_assign_cnt)
-        per_read_assignments.append(ra)
-        if assign_rows is not None:
-            for a in ra:
-                assign_rows.append(
-                    f"{ids1[i]}\t{refset.alleles[a.allele_idx].name}\t{a.start}\t{a.end}")
-        if frags:
-            aligned_flags[i] = True
-
-    with stage("fragment_assignment") as ctx:
-        aligned_fragment_cnt = genotyper.coalesce(per_read_assignments)
+    with stage("fragment_assignment") as sctx:
+        frag_rec, frag_counts, aligned_flags_arr = engine.fragment_batch(
+            uid1, uid2, has_n, has_mate, opts.max_assign_cnt,
+            whitelist if whitelist is not None else None)
+        aligned_flags = aligned_flags_arr.tolist()
+        aligned_fragment_cnt = genotyper.coalesce_arrays(frag_rec, frag_counts)
         pos_weight = engine.pos_weight()
         genotyper.finalize(pos_weight, packed)
-        ctx["fragment_count"] = read_cnt
-        ctx["aligned_fragment_count"] = aligned_fragment_cnt
-        ctx["read_group_count"] = len(genotyper.read_groups)
-        ctx["equivalence_class_count"] = len(genotyper.ec_to_alleles)
+        sctx["fragment_count"] = read_cnt
+        sctx["aligned_fragment_count"] = aligned_fragment_cnt
+        sctx["read_group_count"] = len(genotyper.read_groups)
+        sctx["equivalence_class_count"] = len(genotyper.ec_to_alleles)
+
+    assign_rows = None
+    if opts.output_read_assignment:
+        assign_rows = []
+        off = np.zeros(read_cnt + 1, dtype=np.int64)
+        off[1:] = np.cumsum(frag_counts)
+        for i in range(read_cnt):
+            for k in range(off[i], off[i + 1]):
+                r = frag_rec[k]
+                assign_rows.append(
+                    f"{ids1[i]}\t{refset.alleles[int(r[0])].name}"
+                    f"\t{int(r[1])}\t{int(r[2])}")
     log(f"Finish read fragment assignments. {aligned_fragment_cnt} read fragments "
         f"can be assigned.")
 

@@ -54,6 +54,11 @@ _lib.t1k_get_result_offsets.restype = ct.POINTER(ct.c_int64)
 _lib.t1k_get_result_offsets.argtypes = [ct.c_void_p]
 _lib.t1k_get_pos_weight.restype = ct.POINTER(ct.c_int32)
 _lib.t1k_get_pos_weight.argtypes = [ct.c_void_p]
+_lib.t1k_fragment_batch.restype = ct.c_int64
+_lib.t1k_fragment_batch.argtypes = [
+    ct.c_void_p, _c_i64p, _c_i64p, _c_u8p, ct.c_int64, ct.c_int32,
+    ct.c_int32, ct.c_void_p,
+]
 _lib.t1k_screen_batch.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, ct.c_int64, _c_u8p,
 ]
@@ -149,6 +154,42 @@ class NativeEngine:
             _lib.t1k_get_result_offsets(self._handle), shape=(n + 1,)
         ).copy()
         return rec, off
+
+    def fragment_batch(
+        self,
+        uid1: np.ndarray,
+        uid2: np.ndarray,
+        has_n: np.ndarray,
+        paired: bool,
+        max_assign_cnt: int = 2000,
+        whitelist=None,
+    ):
+        """Fragment assignment over the last assign_batch's results.
+
+        Returns (records [N,6] f64: allele/start/end/weight/adjust/qual,
+        counts [F] per-fragment record counts, flags [F] fragment-assigned
+        booleans)."""
+        n = len(uid1)
+        wl = None
+        if whitelist is not None:
+            wl = np.ascontiguousarray(whitelist, dtype=np.uint8)
+        total = _lib.t1k_fragment_batch(
+            self._handle,
+            np.ascontiguousarray(uid1, dtype=np.int64),
+            np.ascontiguousarray(uid2, dtype=np.int64),
+            np.ascontiguousarray(has_n, dtype=np.uint8),
+            n, int(paired), max_assign_cnt,
+            wl.ctypes.data if wl is not None else None,
+        )
+        rec = np.ctypeslib.as_array(
+            _lib.t1k_get_results(self._handle), shape=(int(total), 6)
+        ).copy() if total else np.zeros((0, 6))
+        packed = np.ctypeslib.as_array(
+            _lib.t1k_get_result_offsets(self._handle), shape=(n + 1,)
+        )[1:].copy()
+        counts = packed >> 1
+        flags = (packed & 1).astype(bool)
+        return rec, counts, flags
 
     def pos_weight(self) -> np.ndarray:
         """Per-base coverage counts, shape [total_len, 4] (view copy)."""

@@ -177,6 +177,99 @@ struct EditStats {
   int match = 0, mismatch = 0, indel = 0;
 };
 
+// Traceback counting only — identical walk to BandedGlobalAlign but
+// without materializing the edit string (used for gap fill / extension
+// where only the counts feed the score bookkeeping).
+static EditStats BandedGlobalAlignStats(const int8_t* t, int lent,
+                                        const int8_t* p, int lenp, int band,
+                                        AlignScratch* scr) {
+  EditStats st;
+  if (lent == 0 || lenp == 0) return st;
+  if (lent == 1 && lenp == 1) {
+    if (BaseEq(t[0], p[0])) ++st.match; else ++st.mismatch;
+    return st;
+  }
+  // fill phase shared with the full version
+  static thread_local std::vector<int8_t> tmp;
+  // (reuse the full routine's fill by calling it with a scratch edit
+  // buffer would reverse-copy; do the walk inline instead)
+  int leftBand = band, rightBand = band;
+  if (lent > lenp) rightBand += lent - lenp;
+  else if (lent < lenp) leftBand += lenp - lent;
+  const int W = lent + 1;
+  const long total = (long)(lenp + 1) * W;
+  const int negInf = (lent + 1) * (lenp + 1) * kGapOpen;
+  std::vector<int>& m = scr->m;
+  std::vector<int>& e = scr->e;
+  std::vector<int>& f = scr->f;
+  if ((long)m.size() < total) { m.resize(total); e.resize(total); f.resize(total); }
+  m[0] = e[0] = f[0] = 0;
+  for (int i = 1; i <= lenp; ++i) {
+    e[(long)i * W] = kGapOpen + i * kGapExtend;
+    f[(long)i * W] = kGapOpen + i * kGapOpen;
+    m[(long)i * W] = kGapOpen + i * kGapOpen;
+  }
+  for (int j = 1; j <= lent; ++j) {
+    f[j] = kGapOpen + j * kGapExtend;
+    e[j] = kGapOpen + (lenp + 1) * kGapOpen;
+    m[j] = kGapOpen + j * kGapOpen;
+  }
+  for (int i = 1; i <= lenp; ++i) {
+    int start = i - leftBand < 1 ? 1 : i - leftBand;
+    int end = i + rightBand > lent ? lent : i + rightBand;
+    long row = (long)i * W;
+    long prow = row - W;
+    if (start > 1) e[row + start - 1] = f[row + start - 1] = m[row + start - 1] = negInf;
+    if (end < lent) e[row + end + 1] = f[row + end + 1] = m[row + end + 1] = negInf;
+    for (int j = start; j <= end; ++j) {
+      int ev = e[prow + j] + kGapExtend;
+      int t2 = m[prow + j] + kGapOpen + kGapExtend;
+      if (t2 > ev) ev = t2;
+      e[row + j] = ev;
+      int fv = f[row + j - 1] + kGapExtend;
+      t2 = m[row + j - 1] + kGapOpen + kGapExtend;
+      if (t2 > fv) fv = t2;
+      f[row + j] = fv;
+      int mv = m[prow + j - 1] + (BaseEq(t[j - 1], p[i - 1]) ? kMatch : kMismatch);
+      if (ev > mv) mv = ev;
+      if (fv > mv) mv = fv;
+      m[row + j] = mv;
+    }
+  }
+  int ti = lenp, tj = lent;
+  int state = 0;
+  while (ti > 0 || tj > 0) {
+    long cell = (long)ti * W + tj;
+    if (state == 0) {
+      int a = kEditInsert;
+      if (f[cell] >= e[cell]) a = kEditDelete;
+      bool eq = false;
+      if (ti > 0 && tj > 0) {
+        eq = BaseEq(t[tj - 1], p[ti - 1]);
+        if (m[cell - W - 1] + (eq ? kMatch : kMismatch) == m[cell])
+          a = eq ? kEditMatch : kEditMismatch;
+      }
+      if (a == kEditMatch) { ++st.match; --ti; --tj; }
+      else if (a == kEditMismatch) { ++st.mismatch; --ti; --tj; }
+      else if (a == kEditInsert) state = 1;
+      else state = 2;
+    } else if (state == 1) {
+      ++st.indel;
+      if (ti > 0) {
+        if (m[cell - W] + kGapOpen + kGapExtend == e[cell]) state = 0;
+        --ti;
+      } else state = 2;
+    } else {
+      ++st.indel;
+      if (tj > 0) {
+        if (m[cell - 1] + kGapOpen + kGapExtend == f[cell]) state = 0;
+        --tj;
+      } else state = 1;
+    }
+  }
+  return st;
+}
+
 static EditStats CountEdits(const std::vector<int8_t>& edits) {
   EditStats s;
   for (int8_t op : edits) {
@@ -320,6 +413,7 @@ struct Engine {
   // Result staging for the batched API.
   std::vector<double> results;
   std::vector<int64_t> resultOffsets;
+  std::vector<std::vector<Overlap>> lastAssign;  // per unique read
 
   AlignScratch scratch;
 
@@ -377,6 +471,27 @@ static bool HitOrderLess(const Hit& a, const Hit& b) {
   if (a.seq != b.seq) return a.seq < b.seq;
   if (a.roff != b.roff) return a.roff < b.roff;
   return a.soff < b.soff;
+}
+
+// Stable counting sort by (strand, seq).  Hits are generated in
+// (roff, posting) order per strand, so a stable scatter reproduces the
+// full comparator order in O(n + buckets) (the reference's bucket sort,
+// SeqSet.hpp:1558-1590).
+static void BucketSortHits(int nSeqs, std::vector<Hit>* hits) {
+  static thread_local std::vector<int> counts;
+  counts.assign(2 * nSeqs + 1, 0);
+  for (const Hit& h : *hits) {
+    int key = (h.strand == 1 ? nSeqs : 0) + h.seq;
+    ++counts[key + 1];
+  }
+  for (int i = 1; i <= 2 * nSeqs; ++i) counts[i] += counts[i - 1];
+  static thread_local std::vector<Hit> out;
+  out.resize(hits->size());
+  for (const Hit& h : *hits) {
+    int key = (h.strand == 1 ? nSeqs : 0) + h.seq;
+    out[counts[key]++] = h;
+  }
+  hits->swap(out);
 }
 
 // O(n log n) longest (strictly) increasing subsequence in `a` over seeds
@@ -630,11 +745,9 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
           matchCnt += 2 * (cur.a - prev.a);
         } else {
           matchCnt += 2 * k;
-          int score = BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
-                                        r + prev.a + k, cur.a - (prev.a + k), 5,
-                                        &edits, scratch);
-          (void)score;
-          EditStats st = CountEdits(edits);
+          EditStats st = BandedGlobalAlignStats(
+              seq + prev.b + k, cur.b - (prev.b + k), r + prev.a + k,
+              cur.a - (prev.a + k), 5, scratch);
           matchCnt += 2 * st.match;
           mismatchCnt += st.mismatch;
           indelCnt += st.indel;
@@ -655,10 +768,9 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
           indelCnt += d < 0 ? -d : d;
         } else {
           matchCnt += 2 * k;
-          BandedGlobalAlign(seq + prev.b + k, cur.b - (prev.b + k),
-                            r + prev.a + k, cur.a - (prev.a + k), 5, &edits,
-                            scratch);
-          EditStats st = CountEdits(edits);
+          EditStats st = BandedGlobalAlignStats(
+              seq + prev.b + k, cur.b - (prev.b + k), r + prev.a + k,
+              cur.a - (prev.a + k), 5, scratch);
           matchCnt += 2 * st.match;
           mismatchCnt += st.mismatch;
           indelCnt += st.indel;
@@ -703,9 +815,9 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
       break;
     }
   }
-  BandedGlobalAlign(seq + o.seqStart - leftOver, leftOver, r + o.readStart - leftOver,
-                    leftOver, 5, &edits, scratch);
-  EditStats st = CountEdits(edits);
+  EditStats st = BandedGlobalAlignStats(
+      seq + o.seqStart - leftOver, leftOver, r + o.readStart - leftOver,
+      leftOver, 5, scratch);
   int matchCnt = st.match;
 
   int rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
@@ -718,9 +830,8 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
       break;
     }
   }
-  BandedGlobalAlign(seq + o.seqEnd + 1, rightOver, r + o.readEnd + 1, rightOver, 5,
-                    &edits, scratch);
-  st = CountEdits(edits);
+  st = BandedGlobalAlignStats(seq + o.seqEnd + 1, rightOver,
+                              r + o.readEnd + 1, rightOver, 5, scratch);
   matchCnt += st.match;
 
   out->seq = o.seq;
@@ -760,7 +871,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
 
   std::vector<Hit> hits;
   CollectHits(eng, read, len, rc.data(), 0, &hits);
-  std::sort(hits.begin(), hits.end(), HitOrderLess);
+  BucketSortHits(eng.nSeqs, &hits);
 
   std::vector<Overlap> overlaps;
   std::vector<std::vector<Seed>> seeds;
@@ -863,7 +974,7 @@ static bool HasHitInSet(Engine& eng, const int8_t* read, int len) {
   if (hits.empty()) return false;
 
   // Best bucket = (strand, seq) with the most hits; strand -1 scans first.
-  std::sort(hits.begin(), hits.end(), HitOrderLess);
+  BucketSortHits(eng.nSeqs, &hits);
   int bestStart = -1, bestLen = 0;
   int i = 0, n = (int)hits.size();
   while (i < n) {
@@ -938,15 +1049,16 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
   if (nt < 1) nt = 1;
   if (nt > n_reads) nt = n_reads > 0 ? (int)n_reads : 1;
 
+  eng.lastAssign.assign(n_reads, {});
   std::vector<std::vector<double>> shardResults(nt);
   std::vector<std::vector<int64_t>> shardCounts(nt);
 
   auto worker = [&](int tid) {
     t1k::AlignScratch scratch;
-    std::vector<t1k::Overlap> assign;
     int64_t start = n_reads / nt * tid;
     int64_t end = (tid == nt - 1) ? n_reads : n_reads / nt * (tid + 1);
     for (int64_t i = start; i < end; ++i) {
+      std::vector<t1k::Overlap>& assign = eng.lastAssign[i];
       t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i],
                       weights[i], &assign, &scratch);
       for (const t1k::Overlap& o : assign) {
@@ -1030,6 +1142,313 @@ int32_t t1k_align_global(const int8_t* t, int32_t lent, const int8_t* p,
   std::memcpy(align_out, edits.data(), edits.size());
   align_out[edits.size()] = -1;
   return score;
+}
+
+}  // extern "C"
+
+// --------------------------------------------------------- fragment stage
+// Mate pairing, per-allele dedupe, tie relaxation, dangling and
+// truncated-reference filters, and similarity-bucket weighting — the exact
+// semantics of core/fragment.py (reference SeqSet.hpp:2310-2655,
+// Genotyper.hpp:205-230, 778-832), executed natively over the engine's
+// stored per-read assignments.
+namespace t1k {
+
+struct FragRec {
+  int32_t seq;
+  int32_t seqStart, seqEnd;
+  int32_t matchCnt;
+  int32_t relaxedMatchCnt;
+  double similarity;
+  bool hasMatePair;
+  bool o1FromR2;
+  const Overlap* o1;
+  const Overlap* o2;
+  double qual = 0.0;
+};
+
+static bool FragBetter(const FragRec& a, const FragRec& b) {
+  if (a.matchCnt != b.matchCnt) return a.matchCnt > b.matchCnt;
+  if (a.similarity != b.similarity) return a.similarity > b.similarity;
+  return OverlapRankLess(*a.o1, *b.o1);
+}
+
+static bool OverlapIntersect(const Overlap& a, const Overlap& b) {
+  return a.seq == b.seq &&
+         ((a.seqStart <= b.seqStart && b.seqStart <= a.seqEnd) ||
+          (b.seqStart <= a.seqStart && a.seqStart <= b.seqEnd));
+}
+
+static bool TruncatedMate(const Engine& eng, const Overlap& o,
+                          const Overlap& comp1, const Overlap& comp2) {
+  if (o.seq == -1) return false;
+  if (o.strand == 1) {
+    int shift = comp2.seqEnd - comp1.seqEnd;
+    if (eng.lens[o.seq] - 1 < o.seqEnd + shift) return true;
+    if (eng.SeparatorInRange(o.seqEnd, o.seqEnd + shift + 1, o.seq)) return true;
+  } else if (o.strand == -1) {
+    int shift = comp1.seqStart - comp2.seqStart;
+    if (o.seqStart - shift < 0) return true;
+    if (eng.SeparatorInRange(o.seqStart - shift - 1, o.seqStart, o.seq))
+      return true;
+  }
+  return false;
+}
+
+static float FragWeight(double similarity, double refSim, bool hasN) {
+  double segment = (1 - refSim) / 4.0;
+  if (segment < 0.01) segment = 0.01;
+  double ret = 1.0;
+  if (similarity < 1 - 3 * segment) ret = 0.01;
+  else if (similarity < 1 - 2 * segment) ret = 0.1;
+  else if (similarity < 1 - segment) ret = 0.5;
+  if (hasN) ret /= 10.0;
+  return (float)ret;
+}
+
+// Returns kept fragment records for one fragment (read pair).
+static void FragmentAssign(const Engine& eng,
+                           const std::vector<Overlap>* ov1,
+                           const std::vector<Overlap>* ov2, bool hasN,
+                           bool paired, std::vector<FragRec>* out) {
+  out->clear();
+  static thread_local std::vector<std::pair<int, int>> fragments;
+  fragments.clear();
+  static const std::vector<Overlap> kEmpty;
+  const std::vector<Overlap>& o1v = ov1 ? *ov1 : kEmpty;
+  const std::vector<Overlap>& o2v = (paired && ov2) ? *ov2 : kEmpty;
+
+  if (!paired) {
+    for (int i = 0; i < (int)o1v.size(); ++i) fragments.push_back({i, -1});
+  } else if (o1v.empty() || o2v.empty()) {
+    for (int i = 0; i < (int)o1v.size(); ++i) fragments.push_back({i, -1});
+    for (int j = 0; j < (int)o2v.size(); ++j) fragments.push_back({-1, j});
+  } else {
+    static thread_local std::unordered_map<int, std::vector<int>> seqToJ;
+    seqToJ.clear();
+    for (int j = 0; j < (int)o2v.size(); ++j)
+      seqToJ[o2v[j].seq].push_back(j);
+    for (int i = 0; i < (int)o1v.size(); ++i) {
+      auto it = seqToJ.find(o1v[i].seq);
+      if (it == seqToJ.end()) continue;
+      for (int j : it->second) {
+        if (o1v[i].strand == o2v[j].strand) continue;
+        if ((o1v[i].strand == 1 && o1v[i].seqStart < o2v[j].seqStart) ||
+            (o1v[i].strand == -1 && o1v[i].seqStart > o2v[j].seqStart))
+          fragments.push_back({i, j});
+      }
+    }
+  }
+
+  std::vector<FragRec> assign;
+  std::unordered_map<int, int> seqIdxToAssign;
+  for (auto [fi, fj] : fragments) {
+    FragRec rec;
+    if (fi >= 0) {
+      const Overlap& o = o1v[fi];
+      rec = {o.seq, o.seqStart, o.seqEnd, o.matchCnt, o.relaxedMatchCnt,
+             o.similarity, false, false, &o, nullptr};
+      if (fj >= 0) {
+        const Overlap& o2 = o2v[fj];
+        rec.matchCnt += o2.matchCnt;
+        rec.relaxedMatchCnt += o2.relaxedMatchCnt;
+        if (o.strand == 1) rec.seqEnd = o2.seqEnd;
+        else rec.seqStart = o2.seqStart;
+        rec.similarity =
+            (double)rec.matchCnt /
+            (o.readEnd - o.readStart + 1 + o2.readEnd - o2.readStart + 1 +
+             o.seqEnd - o.seqStart + 1 + o2.seqEnd - o2.seqStart + 1 +
+             2 * o.leftClip + 2 * o.rightClip + 2 * o2.leftClip +
+             2 * o2.rightClip);
+        rec.hasMatePair = true;
+        rec.o2 = &o2;
+      }
+    } else if (fj >= 0) {
+      const Overlap& o = o2v[fj];
+      rec = {o.seq, o.seqStart, o.seqEnd, o.matchCnt, o.relaxedMatchCnt,
+             o.similarity, false, true, &o, nullptr};
+    } else {
+      continue;
+    }
+    auto it = seqIdxToAssign.find(rec.seq);
+    if (it != seqIdxToAssign.end()) {
+      if (FragBetter(rec, assign[it->second])) assign[it->second] = rec;
+    } else {
+      seqIdxToAssign[rec.seq] = (int)assign.size();
+      assign.push_back(rec);
+    }
+  }
+  if (assign.empty()) return;
+
+  const FragRec* best = &assign[0];
+  for (size_t i = 1; i < assign.size(); ++i) {
+    if (assign[i].matchCnt > best->matchCnt ||
+        (assign[i].matchCnt == best->matchCnt &&
+         assign[i].similarity > best->similarity))
+      best = &assign[i];
+  }
+  FragRec bestCopy = *best;
+
+  std::vector<FragRec>& kept = *out;
+  for (FragRec& rec : assign) {
+    int matchRelax = 2;
+    if (eng.relaxIntron && rec.hasMatePair &&
+        OverlapIntersect(*rec.o1, *rec.o2) &&
+        rec.o1->matchCnt < rec.o1->relaxedMatchCnt &&
+        rec.o2->matchCnt < rec.o2->relaxedMatchCnt)
+      matchRelax = 4;
+    if (rec.matchCnt == bestCopy.matchCnt &&
+        rec.similarity == bestCopy.similarity) {
+      rec.qual = 1.0;
+      kept.push_back(rec);
+    } else if (eng.relaxIntron && rec.matchCnt >= bestCopy.matchCnt - matchRelax &&
+               rec.relaxedMatchCnt == bestCopy.relaxedMatchCnt) {
+      rec.qual = 1.0;
+      kept.push_back(rec);
+    }
+  }
+
+  // dangling filter
+  if (!kept.empty() && paired && !kept[0].hasMatePair) {
+    bool ok = true;
+    for (const FragRec& rec : kept) {
+      const Overlap& o1 = *rec.o1;
+      if (rec.similarity < 1 ||
+          eng.SeparatorInRange(rec.seqStart, rec.seqEnd, rec.seq) ||
+          (rec.seqEnd - rec.seqStart + 1 + o1.readEnd - o1.readStart + 1 <
+           3 * eng.hitLenRequired)) {
+        ok = false;
+        break;
+      }
+      const int spanRange = 100;
+      if ((o1.strand == 1 && rec.seqEnd + spanRange < eng.lens[rec.seq]) ||
+          (o1.strand == -1 && rec.seqStart - spanRange >= 0)) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) {
+      kept.clear();
+      return;
+    }
+  }
+
+  // truncated-reference filter
+  if (!kept.empty() && paired && kept[0].hasMatePair) {
+    const FragRec* rep = &kept[0];
+    for (const FragRec& rec : kept)
+      if (rec.qual == 1.0) {
+        rep = &rec;
+        break;
+      }
+    bool filt = false;
+    for (const Overlap& o : o1v) {
+      if (filt) break;
+      if (o.matchCnt > rep->o1->matchCnt ||
+          (o.matchCnt == rep->o1->matchCnt &&
+           o.similarity > rep->o1->similarity &&
+           seqIdxToAssign.find(o.seq) == seqIdxToAssign.end())) {
+        if (TruncatedMate(eng, o, *rep->o1, *rep->o2)) filt = true;
+        else if (o.similarity > rep->o2->similarity + 0.1) filt = true;
+      }
+    }
+    for (const Overlap& o : o2v) {
+      if (filt) break;
+      if (o.matchCnt > rep->o2->matchCnt ||
+          (o.matchCnt == rep->o2->matchCnt &&
+           o.similarity > rep->o2->similarity &&
+           seqIdxToAssign.find(o.seq) == seqIdxToAssign.end())) {
+        if (TruncatedMate(eng, o, *rep->o2, *rep->o1)) filt = true;
+        else if (o.similarity > rep->o1->similarity + 0.1) filt = true;
+      }
+    }
+    if (filt) kept.clear();
+  }
+}
+
+}  // namespace t1k
+
+extern "C" {
+
+// Fragment assignment over stored read-end assignments.  uid1/uid2 map
+// each fragment to its unique-read index from the last t1k_assign_batch
+// (-1 = no mate / unpaired).  Each output record is 6 doubles:
+// [allele_idx, seq_start, seq_end, weight(f32), adjust_weight(f32), qual].
+// A fragment's records are dropped entirely per SetReadAssignments rules
+// (separator span, max assignment count, whitelist).
+int64_t t1k_fragment_batch(void* ep, const int64_t* uid1, const int64_t* uid2,
+                           const uint8_t* has_n, int64_t n_frags,
+                           int32_t paired, int32_t max_assign_cnt,
+                           const uint8_t* whitelist) {
+  auto& eng = *static_cast<t1k::Engine*>(ep);
+  int nt = eng.nThreads;
+  if (nt < 1) nt = 1;
+
+  std::vector<std::vector<double>> shardResults(nt);
+  std::vector<std::vector<int64_t>> shardCounts(nt);
+
+  auto worker = [&](int tid) {
+    std::vector<t1k::FragRec> kept;
+    int64_t start = n_frags / nt * tid;
+    int64_t end = (tid == nt - 1) ? n_frags : n_frags / nt * (tid + 1);
+    for (int64_t i = start; i < end; ++i) {
+      const std::vector<t1k::Overlap>* o1 =
+          uid1[i] >= 0 ? &eng.lastAssign[uid1[i]] : nullptr;
+      const std::vector<t1k::Overlap>* o2 =
+          uid2[i] >= 0 ? &eng.lastAssign[uid2[i]] : nullptr;
+      t1k::FragmentAssign(eng, o1, o2, has_n[i] != 0, paired != 0, &kept);
+
+      // SetReadAssignments (Genotyper.hpp:778-832)
+      int64_t emitted = 0;
+      bool drop = kept.empty() ||
+                  (max_assign_cnt > 0 && (int64_t)kept.size() > max_assign_cnt);
+      if (!drop) {
+        for (const t1k::FragRec& rec : kept)
+          if (eng.SeparatorInRange(rec.seqStart, rec.seqEnd, rec.seq)) {
+            drop = true;
+            break;
+          }
+      }
+      if (!drop) {
+        double maxSim = 0;
+        for (const t1k::FragRec& rec : kept)
+          if (rec.similarity > maxSim) maxSim = rec.similarity;
+        double adjustFactor = maxSim < 1 ? 0.25 : 1.0;
+        for (const t1k::FragRec& rec : kept) {
+          if (whitelist && !whitelist[rec.seq]) continue;
+          float w = t1k::FragWeight(rec.similarity, eng.refSim,
+                                    has_n[i] != 0);
+          float adj = (float)(adjustFactor * (double)w);
+          double out[6] = {(double)rec.seq, (double)rec.seqStart,
+                           (double)rec.seqEnd, (double)w, (double)adj,
+                           rec.qual};
+          shardResults[tid].insert(shardResults[tid].end(), out, out + 6);
+          ++emitted;
+        }
+      }
+      // flag byte: whether the fragment had any (pre-whitelist) assignment
+      shardCounts[tid].push_back((emitted << 1) | (kept.empty() ? 0 : 1));
+    }
+  };
+
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+
+  eng.results.clear();
+  eng.resultOffsets.clear();
+  eng.resultOffsets.reserve(2 * n_frags + 1);
+  eng.resultOffsets.push_back(0);
+  for (int t = 0; t < nt; ++t) {
+    eng.results.insert(eng.results.end(), shardResults[t].begin(),
+                       shardResults[t].end());
+    for (int64_t c : shardCounts[t]) eng.resultOffsets.push_back(c);
+  }
+  return (int64_t)(eng.results.size() / 6);
 }
 
 }  // extern "C"
