@@ -187,10 +187,52 @@ def golden_analyzer():
     print("variant: done")
 
 
+def make_barcode_input():
+    """Whitelist + noisy per-read barcodes for the correction golden."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    bases = "ACGT"
+    wl = ["".join(bases[i] for i in rng.integers(0, 4, 16)) for _ in range(20)]
+    with open(os.path.join(DATA, "bc_whitelist.txt"), "w") as f:
+        f.write("\n".join(wl) + "\n")
+    out = []
+    for i in range(460):
+        r = rng.random()
+        bc = wl[int(rng.integers(0, 20))]
+        if r < 0.2:
+            p = int(rng.integers(0, 16))
+            bc = (bc[:p]
+                  + bases[(bases.index(bc[p]) + 1 + int(rng.integers(0, 3))) % 4]
+                  + bc[p + 1:])
+        elif r < 0.25:
+            bc = "".join(bases[j] for j in rng.integers(0, 4, 16))
+        qual = "".join(chr(34 + int(q)) for q in rng.integers(0, 40, 16))
+        out.append(f"@bc_{i}\n{bc}\n+\n{qual}")
+    with open(os.path.join(DATA, "extract_bc.fq"), "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def golden_barcode():
+    make_barcode_input()
+    ref = os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa")
+    prefix = "/tmp/golden_bc"
+    subprocess.run([os.path.join(REF_BIN, "fastq-extractor"), "-f", ref,
+                    "-1", os.path.join(DATA, "extract_1.fq"),
+                    "-2", os.path.join(DATA, "extract_2.fq"),
+                    "--barcode", os.path.join(DATA, "extract_bc.fq"),
+                    "--barcodeWhitelist", os.path.join(DATA, "bc_whitelist.txt"),
+                    "-o", prefix], check=True, capture_output=True)
+    with open(os.path.join(GOLDEN, "extract_bc_digest.txt"), "w") as f:
+        f.write(f"_bc.fa\t{sha256(prefix + '_bc.fa')}\n")
+    print("barcode: done")
+
+
 def main():
     os.makedirs(GOLDEN, exist_ok=True)
     os.makedirs(DATA, exist_ok=True)
     golden_extractor()
+    golden_barcode()
     golden_analyzer()
     mg = build_multigene_reference()
     for name, case in CASES.items():

@@ -41,3 +41,23 @@ def test_extractor_matches_reference(tmp_path):
         with open(prefix + suffix, "rb") as f:
             got = hashlib.sha256(f.read()).hexdigest()
         assert got == digests[suffix], f"candidate {suffix} differs"
+
+
+def test_barcode_correction_matches_reference(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    bcfile = os.path.join(DATA_DIR, "extract_bc.fq")
+    if not os.path.exists(bcfile):
+        pytest.skip("run tests/make_goldens.py first")
+    prefix = str(tmp_path / "bc")
+    run_extractor(
+        CYP_RNA, [os.path.join(DATA_DIR, "extract_1.fq")],
+        [os.path.join(DATA_DIR, "extract_2.fq")], prefix,
+        ExtractorOptions(
+            barcode_file=bcfile,
+            barcode_whitelist=os.path.join(DATA_DIR, "bc_whitelist.txt")))
+    with open(os.path.join(GOLDEN_DIR, "extract_bc_digest.txt")) as f:
+        want = f.read().split()[1]
+    with open(prefix + "_bc.fa", "rb") as f:
+        got = hashlib.sha256(f.read()).hexdigest()
+    assert got == want
