@@ -433,11 +433,22 @@ struct Engine {
 // Probe every k-mer of the read (both strands unless `strand` pins one) and
 // collect postings.  Probe-skipping: positions whose posting list has >= 100
 // entries are skipped up to k/2 times in a row (SeqSet.hpp:1081-1119).
-static void CollectHits(const Engine& eng, const int8_t* read, int len,
-                        const int8_t* rcRead, int strand,
-                        std::vector<Hit>* hits) {
+// One probe pass records the surviving posting lists; hits are then
+// emitted directly into (strand, seq) bucket order with a counting
+// scatter — no intermediate unsorted hit array or separate sort pass.
+static void CollectHitsSorted(const Engine& eng, const int8_t* read, int len,
+                              const int8_t* rcRead, int strand,
+                              std::vector<Hit>* hits) {
   const int k = eng.index.k();
   const int skipLimit = k / 2;
+  struct Probe {
+    const std::vector<Posting>* plist;
+    int32_t roff;
+    int32_t strand;
+  };
+  static thread_local std::vector<Probe> probes;
+  probes.clear();
+  size_t total = 0;
   for (int pass = 0; pass < 2; ++pass) {
     int hitStrand = pass == 0 ? 1 : -1;
     if ((hitStrand == 1 && strand == -1) || (hitStrand == -1 && strand == 1))
@@ -458,11 +469,29 @@ static void CollectHits(const Engine& eng, const int8_t* read, int len,
           continue;  // note: prev deliberately not updated (contract quirk)
         }
         skipCnt = 0;
-        for (int j = 0; j < size; ++j)
-          hits->push_back({hitStrand, (*plist)[j].seq, i - k + 1, (*plist)[j].off});
+        if (size) {
+          probes.push_back({plist, i - k + 1, hitStrand});
+          total += size;
+        }
       }
       prev = rc.code;
     }
+  }
+
+  const int nSeqs = eng.nSeqs;
+  static thread_local std::vector<int> counts;
+  counts.assign(2 * nSeqs + 1, 0);
+  for (const Probe& pr : probes) {
+    int base = pr.strand == 1 ? nSeqs : 0;
+    for (const Posting& p : *pr.plist) ++counts[base + p.seq + 1];
+  }
+  for (int i = 1; i <= 2 * nSeqs; ++i) counts[i] += counts[i - 1];
+  hits->resize(total);
+  Hit* out = hits->data();
+  for (const Probe& pr : probes) {
+    int base = pr.strand == 1 ? nSeqs : 0;
+    for (const Posting& p : *pr.plist)
+      out[counts[base + p.seq]++] = {pr.strand, p.seq, pr.roff, p.off};
   }
 }
 
@@ -869,9 +898,8 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
     rc[i] = c < 4 ? 3 - c : 4;
   }
 
-  std::vector<Hit> hits;
-  CollectHits(eng, read, len, rc.data(), 0, &hits);
-  BucketSortHits(eng.nSeqs, &hits);
+  static thread_local std::vector<Hit> hits;
+  CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
 
   std::vector<Overlap> overlaps;
   std::vector<std::vector<Seed>> seeds;
@@ -969,12 +997,10 @@ static bool HasHitInSet(Engine& eng, const int8_t* read, int len) {
     int8_t c = read[len - 1 - i];
     rc[i] = c < 4 ? 3 - c : 4;
   }
-  std::vector<Hit> hits;
-  CollectHits(eng, read, len, rc.data(), 0, &hits);
+  static thread_local std::vector<Hit> hits;
+  CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
   if (hits.empty()) return false;
-
-  // Best bucket = (strand, seq) with the most hits; strand -1 scans first.
-  BucketSortHits(eng.nSeqs, &hits);
+  // hits arrive bucket-sorted: strand -1 first, then seq ascending
   int bestStart = -1, bestLen = 0;
   int i = 0, n = (int)hits.size();
   while (i < n) {
