@@ -366,8 +366,28 @@ class Genotyper:
                 self.major_cnt, self.cfg.filter_frac,
                 self.cfg.min_squarem_alpha, MAX_EM_ITERATIONS,
             )
+        self._last_ec_read_count = ec_read_count
         self._set_allele_abundance(ec_read_count)
         return iters
+
+    def save_em_state(self, path: str, ec_read_count: np.ndarray) -> None:
+        """Checkpoint the EM sufficient statistics (preemption tolerance:
+        a later run can resume allele selection from this file via
+        load_em_state without re-running alignment or EM)."""
+        np.savez_compressed(
+            path,
+            ec_read_count=ec_read_count,
+            ec_first_allele=np.array([a[0] for a in self.ec_to_alleles],
+                                     dtype=np.int64),
+            ec_sizes=np.array([len(a) for a in self.ec_to_alleles],
+                              dtype=np.int64),
+            ec_alleles=np.array([a for lst in self.ec_to_alleles for a in lst],
+                                dtype=np.int64),
+        )
+
+    def load_em_state(self, path: str) -> None:
+        data = np.load(path)
+        self._set_allele_abundance(data["ec_read_count"])
 
     def init_abundance_from_file(self, path: str) -> None:
         """Bypass EM with a kallisto-style abundance file

@@ -230,6 +230,8 @@ def run_genotyper(
         with stage("em_quantification") as ctx:
             em_iters = genotyper.quantify()
             ctx["em_iteration_count"] = em_iters
+            genotyper.save_em_state(f"{output_prefix}_em_state.npz",
+                                    genotyper._last_ec_read_count)
         log(f"Finish allele quantification in {em_iters} EM iterations.")
     with stage("allele_selection"):
         genotyper.remove_low_likelihood()

@@ -1,0 +1,75 @@
+"""Sharded-EM scaling measurement over a device mesh.
+
+Runs the psum-merged EM step at mesh sizes 1..N and reports step time
+and scaling efficiency.  On this development rig the mesh is virtual
+(N CPU "devices" multiplexed over the same physical cores), so the
+numbers validate the collective mechanics rather than speed — flat
+timing is the expected outcome here.  On a pod slice
+(T1K_SCALING_REAL=1) the same code spans real chips over ICI and the
+E-step work divides.
+
+  python -m t1k_tpu.parallel.scaling_bench
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    # default: a virtual 8-device CPU mesh (set T1K_SCALING_REAL=1 to use
+    # the real device set, e.g. on a pod slice)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    if not os.environ.get("T1K_SCALING_REAL"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import numpy as np
+
+    from .mesh import data_mesh, em_quantify_sharded
+
+    rng = np.random.default_rng(11)
+    ec_cnt, rg_cnt = 4096, 200000
+    nnz = rg_cnt * 8
+    seg_rg = np.sort(rng.integers(0, rg_cnt, nnz)).astype(np.int32)
+    seg_ec = rng.integers(0, ec_cnt, nnz).astype(np.int32)
+    counts = np.ones(nnz, np.float64)
+    ec_len = rng.integers(800, 20000, ec_cnt).astype(np.float64)
+    init = np.ones(ec_cnt, np.float64)
+
+    results = {}
+    base = None
+    for n in (1, 2, 4, 8):
+        if n > len(jax.devices()):
+            break
+        mesh = data_mesh(n)
+        em_quantify_sharded(mesh, seg_rg, seg_ec, counts, rg_cnt, ec_len,
+                            init, iterations=2)  # warm
+        t0 = time.perf_counter()
+        em_quantify_sharded(mesh, seg_rg, seg_ec, counts, rg_cnt, ec_len,
+                            init, iterations=20)
+        dt = (time.perf_counter() - t0) / 20
+        if base is None:
+            base = dt
+        results[n] = {
+            "ms_per_iteration": round(dt * 1e3, 3),
+            "speedup": round(base / dt, 3),
+            "efficiency": round(base / dt / n, 3),
+        }
+        print(f"devices={n}: {dt*1e3:.2f} ms/iter  "
+              f"speedup={base/dt:.2f}  eff={base/dt/n:.2f}", file=sys.stderr)
+    print(json.dumps({"metric": "sharded_em_scaling", "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
