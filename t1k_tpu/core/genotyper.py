@@ -345,6 +345,7 @@ class Genotyper:
     def quantify(self) -> int:
         """Run SQUAREM EM; returns iteration count (Genotyper.hpp:1142-1328)."""
         ec_cnt = len(self.ec_to_alleles)
+        self._last_ec_read_count = np.zeros(ec_cnt, dtype=np.float64)
         if ec_cnt == 0:
             return 0
         rg_off, rg_ecs, rg_counts = self._read_group_csr()

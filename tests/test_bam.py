@@ -118,3 +118,56 @@ def test_bam_extraction(tmp_path):
         with open(prefix + suffix, "rb") as f:
             got = hashlib.sha256(f.read()).hexdigest()
         assert got == digests[suffix], f"bam candidate {suffix} differs"
+
+
+def test_barcoded_bam_single_cell_chain(tmp_path):
+    """10x-style chain: CB-tagged BAM -> extraction -> genotyping with
+    barcodes -> analyzer barcode expression matrix."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.constants import revcomp_str
+    from t1k_tpu.core.analyzer import AnalyzerOptions, run_analyzer
+    from t1k_tpu.core.pipeline import GenotypeOptions, run_genotyper
+    from t1k_tpu.io.bam import BamRecord, BamWriter, extract_from_bam
+    from t1k_tpu.io.reads import read_seq_file
+    from t1k_tpu.tools.simulate import SimConfig, simulate_pairs
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    r1, r2 = simulate_pairs([by_name["CYP2D6*1"], by_name["CYP2D6*4"]],
+                            [1.0, 0.8], SimConfig(n_pairs=200, seed=444))
+    recs = []
+    for i in range(len(r1)):
+        tags = {"CB": f"CELL{i % 3:02d}", "UB": f"UMI{i:04d}"}
+        p1 = 10050 + i * 9
+        recs.append(BamRecord(r1[i].id, 0x63, 0, p1, 60, [(100, 0)], 0,
+                              p1 + 150, 250, r1[i].seq, r1[i].qual, dict(tags)))
+        recs.append(BamRecord(r1[i].id, 0x93, 0, p1 + 150, 60, [(100, 0)], 0,
+                              p1, -250, revcomp_str(r2[i].seq),
+                              r2[i].qual[::-1], dict(tags)))
+    recs.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "sc.bam")
+    w = BamWriter(bam, ["chr22"], [1000000], "@HD\tVN:1.6\tSO:coordinate\n")
+    for r in recs:
+        w.write(r)
+    w.close()
+    coord = str(tmp_path / "coord.fa")
+    with open(coord, "w") as f:
+        for a in ("CYP2D6*1", "CYP2D6*4"):
+            f.write(f">{a} chr22 10000 12500 +\n{by_name[a].seq}\n")
+
+    p = str(tmp_path / "sc")
+    stats = extract_from_bam(bam, coord, coord, p + "_candidate",
+                             bc_field="CB", umi_field="UB")
+    assert stats["candidates"] == 200
+    run_genotyper(CYP_RNA, [p + "_candidate_1.fq"], [p + "_candidate_2.fq"],
+                  p, GenotypeOptions(barcode_file=p + "_candidate_bc.fa"))
+    run_analyzer(CYP_RNA, p + "_allele.tsv", [p + "_aligned_1.fa"],
+                 [p + "_aligned_2.fa"], p,
+                 AnalyzerOptions(barcode_file=p + "_aligned_bc.fa"))
+    with open(p + "_barcode_expr.tsv") as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("#barcode")
+    assert len(lines) == 4  # three cells
+    # uniq counts across cells sum to the fragment count
+    total_uniq = sum(int(line.split("\t")[-1]) for line in lines[1:])
+    assert total_uniq == 200
