@@ -72,6 +72,19 @@ CASES = {
         alleles=["CYP2D6*1", "CYP2D6*4"], abund=[1.0, 0.8],
         n=300, seed=31, paired=False, args=[],
     ),
+    "rna_s97": dict(
+        # the HLA preset's similarity regime: different assignment-weight
+        # bucketing (ref SimpleVector-free path in Genotyper.hpp weights)
+        ref=os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa"),
+        alleles=["CYP2D6*1", "CYP2D6*4"], abund=[1.0, 0.8],
+        n=300, seed=17, paired=True, args=["-s", "0.97"],
+    ),
+    "rna_n": dict(
+        # reads carrying N bases exercise the hasN weight/10 path
+        ref=os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa"),
+        alleles=["CYP2D6*1", "CYP2D6*4"], abund=[1.0, 0.8],
+        n=300, seed=17, paired=True, args=[], inject_n=88,
+    ),
     "multigene": dict(
         ref="MULTIGENE",
         alleles=["GENA*83", "GENA*50", "GENB*15.001", "GENB*129.001", "GENC*4.006"],
@@ -86,6 +99,15 @@ def simulate_case(name: str, case: dict, ref_path: str):
     chosen = [by_name[a] for a in case["alleles"]]
     cfg = SimConfig(n_pairs=case["n"], seed=case["seed"])
     r1, r2 = simulate_pairs(chosen, case["abund"], cfg)
+    if case.get("inject_n"):
+        import numpy as np
+
+        rng = np.random.default_rng(case["inject_n"])
+        for i, rec in enumerate(r1):
+            if rng.random() < 0.3:
+                s = list(rec.seq)
+                s[int(rng.integers(0, len(s)))] = "N"
+                r1[i] = SeqRecord(rec.id, "".join(s), rec.qual, rec.comment)
     p1 = os.path.join(DATA, f"{name}_1.fq")
     p2 = os.path.join(DATA, f"{name}_2.fq")
     write_fastq(p1, r1)
