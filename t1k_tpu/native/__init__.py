@@ -86,7 +86,10 @@ def align_global(t: np.ndarray, p: np.ndarray, band: int = 5) -> Tuple[int, np.n
     """Banded affine global alignment; returns (score, edit ops int8)."""
     t = np.ascontiguousarray(t, dtype=np.int8)
     p = np.ascontiguousarray(p, dtype=np.int8)
-    out = np.empty(len(t) + len(p) + 1, dtype=np.int8)
+    # Capacity: the walk can exceed lent+lenp by up to two ops (the
+    # boundary quirks each emit one op without advancing), plus the
+    # terminator.
+    out = np.empty(len(t) + len(p) + 4, dtype=np.int8)
     score = _lib.t1k_align_global(t, len(t), p, len(p), band, out)
     n = int(np.argmax(out == -1))
     return score, out[:n]

@@ -1159,7 +1159,8 @@ void t1k_screen_batch(void* ep, const int8_t* read_codes,
 }
 
 // Standalone banded global alignment; returns score, writes the edit walk
-// (codes 0..3) terminated with -1 into align_out (capacity lent+lenp+1).
+// (codes 0..3) terminated with -1 into align_out (capacity lent+lenp+3:
+// the boundary quirks can emit two ops beyond lent+lenp).
 int32_t t1k_align_global(const int8_t* t, int32_t lent, const int8_t* p,
                          int32_t lenp, int32_t band, int8_t* align_out) {
   t1k::AlignScratch scr;
