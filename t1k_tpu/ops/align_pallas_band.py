@@ -38,8 +38,16 @@ NEG_INF = -(1 << 24)
 W = 32           # band window width (sublanes per pair)
 LANES = 128      # pairs per slab
 
+# Packed traceback-stat counters: match in bits 0-8, mismatch in 9-17,
+# indel in 18-26 (fields never exceed lenp+lent+2 < 512 for supported
+# shapes).  One int32 carries all three through the fill.
+MU = 1
+XU = 1 << 9
+IU = 1 << 18
 
-def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, *, G, Lp, ML):
+
+def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
+                 *, G, Lp, ML, stats=False):
     S = G * W
     w_local = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0) % W
 
@@ -63,10 +71,43 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, *, G, Lp, ML):
                              GO + (p_lens + 1) * GO, NEG_INF))
     score0 = jnp.full((S, LANES), NEG_INF, jnp.int32)
 
-    def shift_up(x):
+    # Count state for the traceback-stats variant (packed MU/XU/IU
+    # fields).  Row-0 closed forms mirror the reference walk's boundary
+    # behaviour (AlignAlgo.hpp:379-400 quirks): along the top row the
+    # delete-run costs j indels, plus one spurious insert when the
+    # insert matrix dominates (j > 4*(lenp+1) with these scores); an
+    # insert-run reaching the top row costs one extra op.
+    if stats:
+        pm0 = jnp.where(
+            j0 == 0, 0,
+            j0 * IU + jnp.where(j0 * GE >= (p_lens + 1) * GO, 0, IU))
+        pe0 = jnp.where(j0 == 0, 0, (j0 + 1) * IU)
+        stat0 = jnp.zeros((S, LANES), jnp.int32)
+
+    def shift_up(x, fill=NEG_INF):
         """x'[w] = x[w+1] within each W-segment."""
         r = pltpu.roll(x, shift=S - 1, axis=0)
-        return jnp.where(w_local == W - 1, NEG_INF, r)
+        return jnp.where(w_local == W - 1, fill, r)
+
+    def shift_down(x, fill=NEG_INF):
+        """x'[w] = x[w-1] within each W-segment."""
+        r = pltpu.roll(x, shift=1, axis=0)
+        return jnp.where(w_local == 0, fill, r)
+
+    def seg_copy_scan(key, payload):
+        """Inclusive per-segment scan: for each w, the payload at the
+        largest key position <= w (keys are sublane indices or the
+        -1024 sentinel)."""
+        ka, pa = key, payload
+        s = 1
+        while s < W:
+            rk = pltpu.roll(ka, shift=s, axis=0)
+            rp = pltpu.roll(pa, shift=s, axis=0)
+            take = (w_local >= s) & (rk > ka)
+            ka = jnp.where(take, rk, ka)
+            pa = jnp.where(take, rp, pa)
+            s *= 2
+        return ka, pa
 
     def seg_prefix_max_excl(u):
         """Exclusive running max along w within each W-segment."""
@@ -80,7 +121,10 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, *, G, Lp, ML):
         return jnp.where(w_local == 0, NEG_INF, r)
 
     def body(i, carry):
-        m_prev, e_prev, score = carry
+        if stats:
+            m_prev, e_prev, score, pm_prev, pe_prev, statv = carry
+        else:
+            m_prev, e_prev, score = carry
         j = i + w_local - ML
 
         # text window (t pre-shifted by ML+1 rows, so offset == i)
@@ -120,9 +164,47 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, *, G, Lp, ML):
         m_cur = jnp.where(active, m_cur, m_prev)
         e_cur = jnp.where(active, e_cur, e_prev)
         score = jnp.where((i == p_lens) & (w_local == w_final), m_cur, score)
-        return m_cur, e_cur, score
 
-    _, _, score = jax.lax.fori_loop(1, Lp + 1, body, (m0, e0, score0))
+        if not stats:
+            return m_cur, e_cur, score
+
+        # Forward count propagation with the walk's exact local rules
+        # (engine.cc BandedGlobalAlignStats).  The insert-run pop check
+        # compares the previous row's m (same j -> w+1 here); the
+        # delete-run pop check compares this row's m one column left.
+        su = jnp.where(sub == SCORE_MATCH, MU, XU)
+        m_up = shift_up(m_prev)
+        open_e = m_up + GO + GE == e_cur
+        pe_cur = IU + jnp.where(open_e, shift_up(pm_prev, 0),
+                                shift_up(pe_prev, 0))
+        diag_ok = (m_prev + sub == m_cur) & (j >= 1) & ~col0
+        # m without the f matrix: the only values a delete run can root
+        # at (an open where m came via f is score-impossible).
+        pm_nof = jnp.where(diag_ok, pm_prev + su, pe_cur)
+        m_left = shift_down(m_cur)
+        o = (m_left + GO + GE == f) & (j >= 1) & ~col0
+        o = o | col0
+        key = jnp.where(o, w_local, -1024)
+        payload = jnp.where(col0, i * IU, shift_down(pm_nof, 0))
+        kwin, pwin = seg_copy_scan(key, payload)
+        pf_cur = pwin + (w_local - kwin + 1) * IU
+        pm_cur = jnp.where(diag_ok, pm_prev + su,
+                           jnp.where(f >= e_cur, pf_cur, pe_cur))
+        pm_cur = jnp.where(col0, i * IU, pm_cur)
+
+        pm_cur = jnp.where(active, pm_cur, pm_prev)
+        pe_cur = jnp.where(active, pe_cur, pe_prev)
+        statv = jnp.where((i == p_lens) & (w_local == w_final), pm_cur, statv)
+        return m_cur, e_cur, score, pm_cur, pe_cur, statv
+
+    if stats:
+        carry = jax.lax.fori_loop(1, Lp + 1, body,
+                                  (m0, e0, score0, pm0, pe0, stat0))
+        score, statv = carry[2], carry[5]
+        for g in range(G):
+            stats_ref[g, :] = jnp.max(statv[g * W:(g + 1) * W, :], axis=0)
+    else:
+        _, _, score = jax.lax.fori_loop(1, Lp + 1, body, (m0, e0, score0))
     for g in range(G):
         out_ref[g, :] = jnp.max(score[g * W:(g + 1) * W, :], axis=0)
 
@@ -144,13 +226,26 @@ def _band_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
     )(tl, plen, t_pad, p_pad)
 
 
+@functools.partial(jax.jit, static_argnames=("G", "ML", "Lp", "interpret"))
+def _band_stats_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
+                     interpret: bool = False):
+    """Single-block scores+stats call — used by tests."""
+    return pl.pallas_call(
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=True),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((G, LANES), jnp.int32)] * 2,
+        interpret=interpret,
+    )(tl, plen, t_pad, p_pad)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("G", "ML", "Lp", "Lt", "Lt_pad", "Lp_pad", "nblocks",
-                     "interpret"))
+                     "stats", "interpret"))
 def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
                Lt: int, Lt_pad: int, Lp_pad: int, nblocks: int,
-               interpret: bool = False):
+               stats: bool = False, interpret: bool = False):
     """Whole-batch path: packs/transposes on device and runs one
     pallas_call with a grid over pair blocks."""
     P = G * LANES
@@ -169,8 +264,11 @@ def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
     tl = tl.reshape(nblocks * G, 1, LANES)
     pln = pln.reshape(nblocks * G, 1, LANES)
 
+    out_spec = pl.BlockSpec((G, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nblocks * G, LANES), jnp.int32)
     out = pl.pallas_call(
-        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML),
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=stats),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
@@ -182,11 +280,13 @@ def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
             pl.BlockSpec((G, Lp_pad, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks * G, LANES), jnp.int32),
+        out_specs=[out_spec] * 2 if stats else out_spec,
+        out_shape=[out_shape] * 2 if stats else out_shape,
         interpret=interpret,
     )(tl, pln, t_pad, p_pad)
+    if stats:
+        out, packed = out
+        packed = packed.reshape(-1)[:B]
     scores = out.reshape(-1)[:B]
 
     single = (t_lens == 1) & (p_lens == 1)
@@ -194,7 +294,13 @@ def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
           | (p_codes[:, 0] == 4))
     scores = jnp.where(single, jnp.where(eq, SCORE_MATCH, SCORE_MISMATCH),
                        scores)
-    return jnp.where((t_lens == 0) | (p_lens == 0), 0, scores)
+    empty = (t_lens == 0) | (p_lens == 0)
+    scores = jnp.where(empty, 0, scores)
+    if not stats:
+        return scores
+    packed = jnp.where(single, jnp.where(eq, MU, XU), packed)
+    packed = jnp.where(empty, 0, packed)
+    return scores, packed
 
 
 def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
@@ -220,3 +326,38 @@ def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
         jnp.asarray(t_codes), jnp.asarray(t_lens), jnp.asarray(p_codes),
         jnp.asarray(p_lens), G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks,
         interpret=interpret))
+
+
+def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
+                      interpret: bool = False):
+    """Scores plus match/mismatch/indel counts along the optimal
+    traceback, computed by forward count propagation with the walk's
+    exact tie-break rules (engine.cc BandedGlobalAlignStats) — no
+    direction bits, no traceback pass.  Returns
+    (scores, match, mismatch, indel) int32 arrays of shape [B].
+
+    Requires the band to fit the window on BOTH sides:
+    every pair's  5 + (t_len - p_len)  must stay below W - ML."""
+    t_codes = np.asarray(t_codes)
+    p_codes = np.asarray(p_codes)
+    t_lens = np.asarray(t_lens, np.int32)
+    p_lens = np.asarray(p_lens, np.int32)
+    B, Lt = t_codes.shape
+    Lp = int(p_codes.shape[1])
+    ML = 5 + max(0, int((p_lens - t_lens).max(initial=0)))
+    assert ML + 5 + int((t_lens - p_lens).max(initial=0)) < W, \
+        "band exceeds window; use the v1 kernel"
+    assert Lt + Lp + 2 < 512, "packed count fields overflow beyond 511 ops"
+
+    P = G * LANES
+    lead = ML + 1
+    Lt_pad = _round_up(max(Lt + lead, Lp + W + 1) + 1, 8)
+    Lp_pad = _round_up(max(Lp, 8), 8)
+    nblocks = -(-B // P)
+    scores, packed = _band_grid(
+        jnp.asarray(t_codes), jnp.asarray(t_lens), jnp.asarray(p_codes),
+        jnp.asarray(p_lens), G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks,
+        stats=True, interpret=interpret)
+    packed = np.asarray(packed)
+    return (np.asarray(scores), packed & 511, (packed >> 9) & 511,
+            (packed >> 18) & 511)

@@ -169,3 +169,54 @@ def test_band_pallas_interpret_matches():
     got = banded_scores_band(tc[:64], tl[:64], pc[:64], pl[:64], G=1,
                              interpret=True)
     assert (np.asarray(got) == want[:64]).all()
+
+
+def test_band_pallas_stats_matches_walk():
+    """Forward count propagation == native traceback counts, including
+    boundary-quirk shapes (short pattern, long text)."""
+    from t1k_tpu.native import align_global
+    from t1k_tpu.ops.align_pallas_band import banded_stats_band
+
+    rng = np.random.default_rng(19)
+    t_list, p_list = [], []
+    for it in range(256):
+        lenp = int(rng.integers(1, 90))
+        if it % 3 == 0:
+            lent = max(1, lenp + int(rng.integers(-5, 6)))
+            t = rng.integers(0, 5, lent)
+        elif it % 3 == 1:
+            lent = int(rng.integers(1, 25))
+            lenp = max(1, lent + int(rng.integers(-8, 9)))
+            t = rng.integers(0, 5, lent)
+        else:  # mutated copy
+            lent = max(1, lenp + int(rng.integers(-3, 4)))
+            p0 = rng.integers(0, 4, max(lent, lenp))
+            t = p0[:lent].copy()
+            for _ in range(int(rng.integers(0, 6))):
+                t[int(rng.integers(0, lent))] = int(rng.integers(0, 5))
+            p_list.append(p0[:lenp])
+            t_list.append(t)
+            continue
+        p_list.append(rng.integers(0, 5, lenp))
+        t_list.append(t)
+
+    B = len(t_list)
+    Lt = max(len(t) for t in t_list)
+    Lp = max(len(p) for p in p_list)
+    tc = np.zeros((B, Lt), np.int8)
+    pc = np.zeros((B, Lp), np.int8)
+    tl = np.array([len(t) for t in t_list], np.int32)
+    pl = np.array([len(p) for p in p_list], np.int32)
+    for i, (t, p) in enumerate(zip(t_list, p_list)):
+        tc[i, :len(t)] = t
+        pc[i, :len(p)] = p
+    ML = 5 + max(0, int((pl - tl).max()))
+    tl = np.minimum(tl, pl + (32 - 1 - 5 - ML))  # keep band in window
+
+    scores, ma, mi, ind = banded_stats_band(tc, tl, pc, pl, interpret=True)
+    for i in range(B):
+        s_ref, ops = align_global(tc[i, :tl[i]], pc[i, :pl[i]])
+        want = (int((ops == 0).sum()), int((ops == 1).sum()),
+                int(((ops == 2) | (ops == 3)).sum()))
+        assert int(scores[i]) == s_ref, i
+        assert (int(ma[i]), int(mi[i]), int(ind[i])) == want, i
