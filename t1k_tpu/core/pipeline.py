@@ -70,12 +70,18 @@ class GenotypeResult:
 
 
 def assign_unique_reads(
-    engine, seqs: List[str], zero_weights: bool = False
+    engine, seqs: List[str], zero_weights: bool = False,
+    dp_backend: str = "native", dp_interpret: bool = False,
 ) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Group identical read sequences; run the engine once per unique
     sequence with the group size as the coverage weight
     (Genotyper.cpp:450-479).  The analyzer stage passes zero weights so
-    base coverage is left untouched (Analyzer.cpp:142)."""
+    base coverage is left untouched (Analyzer.cpp:142).
+
+    With dp_backend="tpu" the gap-fill and overhang alignments are
+    batched to the band-packed Pallas stats kernel via the engine's
+    deferred-DP mode; the kernel is bit-exact vs the native DP, so
+    results are byte-identical."""
     order = sorted(range(len(seqs)), key=lambda i: seqs[i])
     uniq: List[str] = []
     weights: List[int] = []
@@ -99,7 +105,15 @@ def assign_unique_reads(
     starts = np.zeros(len(lens), dtype=np.int64)
     if len(lens):
         starts[1:] = np.cumsum(lens[:-1])
-    rec, off = engine.assign_batch(codes, starts, lens, np.array(weights, dtype=np.int32))
+    w = np.array(weights, dtype=np.int32)
+    if dp_backend == "tpu":
+        from ..ops.align_pallas_band import make_deferred_stats_fn
+
+        rec, off = engine.assign_batch_deferred(
+            codes, starts, lens, w,
+            make_deferred_stats_fn(interpret=dp_interpret))
+    else:
+        rec, off = engine.assign_batch(codes, starts, lens, w)
     return uniq, group_of, rec, off
 
 
@@ -181,7 +195,8 @@ def run_genotyper(
     log(f"Found {read_cnt} read fragments. Start read assignment.")
     all_seqs = seqs1 + seqs2
     with stage("read_assignment") as ctx:
-        uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs)
+        uniq, group_of, rec, off = assign_unique_reads(
+            engine, all_seqs, dp_backend=opts.backend)
         ctx["read_count"] = len(all_seqs)
         ctx["unique_read_count"] = len(uniq)
         ctx["alignment_count"] = int(rec.shape[0])

@@ -66,6 +66,21 @@ _lib.t1k_align_global.restype = ct.c_int32
 _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
 ]
+_lib.t1k_defer_begin.restype = ct.c_int64
+_lib.t1k_defer_begin.argtypes = [
+    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
+]
+_lib.t1k_defer_dims.argtypes = [
+    ct.c_void_p, ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+    ct.POINTER(ct.c_int32),
+]
+_lib.t1k_defer_fetch.argtypes = [
+    ct.c_void_p, _c_i8p, _c_i32p, _c_i8p, _c_i32p, ct.c_int32, ct.c_int32,
+]
+_lib.t1k_defer_counts.restype = ct.c_int64
+_lib.t1k_defer_counts.argtypes = [ct.c_void_p, _c_i32p]
+_lib.t1k_defer_finish.restype = ct.c_int64
+_lib.t1k_defer_finish.argtypes = [ct.c_void_p, _c_i32p]
 _lib.t1k_em_quantify.restype = ct.c_int32
 _lib.t1k_em_quantify.argtypes = [
     ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
@@ -150,6 +165,57 @@ class NativeEngine:
             np.ascontiguousarray(weights, dtype=np.int32),
             n,
         )
+        rec = np.ctypeslib.as_array(
+            _lib.t1k_get_results(self._handle), shape=(int(total), N_ASSIGN_FIELDS)
+        ).copy() if total else np.zeros((0, N_ASSIGN_FIELDS))
+        off = np.ctypeslib.as_array(
+            _lib.t1k_get_result_offsets(self._handle), shape=(n + 1,)
+        ).copy()
+        return rec, off
+
+    def assign_batch_deferred(
+        self,
+        read_codes: np.ndarray,
+        read_starts: np.ndarray,
+        read_lens: np.ndarray,
+        weights: np.ndarray,
+        stats_fn,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """assign_batch with the gap-fill / extension DP batched out to
+        `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
+        -> match counts [N] i32` (on TPU: the band-packed Pallas stats
+        kernel).  Output is byte-identical to assign_batch.
+        """
+        read_codes = np.ascontiguousarray(read_codes, dtype=np.int8)
+        read_starts = np.ascontiguousarray(read_starts, dtype=np.int64)
+        read_lens = np.ascontiguousarray(read_lens, dtype=np.int32)
+        weights = np.ascontiguousarray(weights, dtype=np.int32)
+        n = len(read_lens)
+
+        def run_items():
+            ni = ct.c_int64()
+            mt = ct.c_int32()
+            mp = ct.c_int32()
+            _lib.t1k_defer_dims(self._handle, ct.byref(ni), ct.byref(mt),
+                                ct.byref(mp))
+            ni = int(ni.value)
+            if ni == 0:
+                return np.zeros(0, np.int32)
+            tcap, pcap = max(int(mt.value), 1), max(int(mp.value), 1)
+            tc = np.zeros((ni, tcap), np.int8)
+            pc = np.zeros((ni, pcap), np.int8)
+            tl = np.zeros(ni, np.int32)
+            pl = np.zeros(ni, np.int32)
+            _lib.t1k_defer_fetch(self._handle, tc, tl, pc, pl, tcap, pcap)
+            return np.ascontiguousarray(stats_fn(tc, tl, pc, pl),
+                                        dtype=np.int32)
+
+        _lib.t1k_defer_begin(self._handle, read_codes, read_starts,
+                             read_lens, weights, n)
+        gap_match = run_items()
+        _lib.t1k_defer_counts(self._handle, gap_match)
+        ext_match = run_items()
+        total = _lib.t1k_defer_finish(self._handle, ext_match)
         rec = np.ctypeslib.as_array(
             _lib.t1k_get_results(self._handle), shape=(int(total), N_ASSIGN_FIELDS)
         ).copy() if total else np.zeros((0, N_ASSIGN_FIELDS))

@@ -16,6 +16,7 @@
 //
 // Build: see Makefile (produces libt1k_native.so, loaded via ctypes).
 
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -389,8 +390,11 @@ inline void AtomicAdd(int32_t* p, int32_t v) {
   __atomic_fetch_add(p, v, __ATOMIC_RELAXED);
 }
 
+struct DeferState;
+
 struct Engine {
   int nThreads = 1;
+  DeferState* defer = nullptr;  // active deferred-DP batch (owned)
   // Packed reference.
   const int8_t* codes;
   std::vector<int64_t> starts;
@@ -734,10 +738,17 @@ static bool SpanLowComplexity(const int8_t* r, int start, int end) {
 // Walk consecutive LIS seeds and accumulate the exact match count: perfect
 // diagonal continuations count positionally, gaps are closed with the
 // banded DP (SeqSet.hpp:1594-1912).
-static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
-                          int len, std::vector<Overlap>* overlaps,
-                          std::vector<std::vector<Seed>>* overlapSeeds,
-                          AlignScratch* scratch) {
+//
+// Split into three parts so the DP can run out-of-line: the core walk
+// (gap DP via a pluggable stats provider; only the match count of a gap
+// alignment is ever consumed), the similarity finalization, and the
+// refSim filter.  The inline wrapper composes them with the native DP.
+template <class GapStats>
+static void ScoreOverlapsCore(Engine& eng, const int8_t* read,
+                              const int8_t* rcRead, int len,
+                              std::vector<Overlap>* overlaps,
+                              std::vector<std::vector<Seed>>* overlapSeeds,
+                              GapStats&& gapMatch) {
   const int k = eng.index.k();
   int cnt = (int)overlaps->size();
   if (cnt == 0) return;
@@ -757,15 +768,11 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
   overlapSeeds->resize(w);
   cnt = w;
 
-  std::vector<int8_t> edits;
   for (int i = 0; i < cnt; ++i) {
     Overlap& o = (*overlaps)[i];
     const std::vector<Seed>& seeds = (*overlapSeeds)[i];
     const int8_t* r = o.strand == 1 ? read : rcRead;
-    const int8_t* seq = eng.Seq(o.seq);
     int matchCnt = 2 * k;
-    int mismatchCnt = 0, indelCnt = 0;
-    double ok = 1;
     for (size_t j = 1; j < seeds.size(); ++j) {
       const Seed& prev = seeds[j - 1];
       const Seed& cur = seeds[j];
@@ -774,47 +781,47 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
           matchCnt += 2 * (cur.a - prev.a);
         } else {
           matchCnt += 2 * k;
-          EditStats st = BandedGlobalAlignStats(
-              seq + prev.b + k, cur.b - (prev.b + k), r + prev.a + k,
-              cur.a - (prev.a + k), 5, scratch);
-          matchCnt += 2 * st.match;
-          mismatchCnt += st.mismatch;
-          indelCnt += st.indel;
+          matchCnt += 2 * gapMatch(i, o.seq, prev.b + k,
+                                   cur.b - (prev.b + k), r, prev.a + k,
+                                   cur.a - (prev.a + k));
         }
       } else {
         bool readOv = prev.a + k - 1 >= cur.a;
         bool seqOv = prev.b + k - 1 >= cur.b;
         if (readOv && !seqOv) {
           matchCnt += 2 * (cur.a - prev.a);
-          indelCnt += (cur.b - (prev.b + k)) + (cur.a + k - prev.a);
         } else if (!readOv && seqOv) {
           matchCnt += 2 * (cur.b - prev.b);
-          indelCnt += (cur.a - (prev.a + k)) + (cur.b + k - prev.b);
         } else if (readOv && seqOv) {
           int da = cur.a - prev.a, db = cur.b - prev.b;
           matchCnt += 2 * (da < db ? da : db);
-          int d = (cur.a - cur.b) - (prev.a - prev.b);
-          indelCnt += d < 0 ? -d : d;
         } else {
           matchCnt += 2 * k;
-          EditStats st = BandedGlobalAlignStats(
-              seq + prev.b + k, cur.b - (prev.b + k), r + prev.a + k,
-              cur.a - (prev.a + k), 5, scratch);
-          matchCnt += 2 * st.match;
-          mismatchCnt += st.mismatch;
-          indelCnt += st.indel;
+          matchCnt += 2 * gapMatch(i, o.seq, prev.b + k,
+                                   cur.b - (prev.b + k), r, prev.a + k,
+                                   cur.a - (prev.a + k));
         }
       }
     }
     o.matchCnt = matchCnt;
-    o.similarity =
-        ok == 1 ? (double)matchCnt / (o.seqEnd - o.seqStart + 1 + o.readEnd - o.readStart + 1)
-                : 0.0;
+  }
+}
+
+// Similarity from the final match counts + low-complexity knockout, then
+// the refSim filter (reference SeqSet.hpp:1893-1908).
+static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
+                                      const int8_t* rcRead,
+                                      std::vector<Overlap>* overlaps,
+                                      std::vector<std::vector<Seed>>* overlapSeeds) {
+  int cnt = (int)overlaps->size();
+  for (int i = 0; i < cnt; ++i) {
+    Overlap& o = (*overlaps)[i];
+    const int8_t* r = o.strand == 1 ? read : rcRead;
+    o.similarity = (double)o.matchCnt /
+                   (o.seqEnd - o.seqStart + 1 + o.readEnd - o.readStart + 1);
     if (SpanLowComplexity(r, o.readStart, o.readEnd)) o.similarity = 0;
   }
-
-  // Final similarity filter (reference refSeqSimilarity, SeqSet.hpp:1893-1908).
-  w = 0;
+  int w = 0;
   for (int i = 0; i < cnt; ++i) {
     if ((*overlaps)[i].similarity < eng.refSim) continue;
     (*overlaps)[w] = (*overlaps)[i];
@@ -825,43 +832,64 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
   overlapSeeds->resize(w);
 }
 
-// Extend an overlap to cover the read ends, clipping at reference 'N'
-// separators and at reference boundaries (SeqSet.hpp:1994-2099).
-// Returns whether the extension passes the similarity floor.
-static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& o,
-                          Overlap* out, AlignScratch* scratch) {
+static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
+                          int len, std::vector<Overlap>* overlaps,
+                          std::vector<std::vector<Seed>>* overlapSeeds,
+                          AlignScratch* scratch) {
+  ScoreOverlapsCore(
+      eng, read, rcRead, len, overlaps, overlapSeeds,
+      [&](int, int seq, int tOff, int tLen, const int8_t* r, int pOff,
+          int pLen) {
+        return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen, r + pOff,
+                                      pLen, 5, scratch)
+            .match;
+      });
+  FinalizeOverlapSimilarity(eng, read, rcRead, overlaps, overlapSeeds);
+}
+
+// Extension geometry: overhang windows clipped at reference 'N'
+// separators and reference boundaries (SeqSet.hpp:1994-2099).  Pure —
+// independent of any alignment result, so it can be computed before the
+// overhang DP runs.
+struct ExtGeom {
+  int leftOver, rightOver, leftClip, rightClip;
+};
+
+static ExtGeom ExtendGeometry(Engine& eng, const Overlap& o, int len) {
   const int8_t* seq = eng.Seq(o.seq);
   int seqLen = eng.SeqLen(o.seq);
-  std::vector<int8_t> edits;
-
-  int leftOver = std::min(o.readStart, o.seqStart);
-  int leftClip = 0, rightClip = 0;
-  if (o.readStart > o.seqStart) leftClip = o.readStart - o.seqStart;
-  for (int i = 0; i < leftOver; ++i) {
+  ExtGeom g;
+  g.leftOver = std::min(o.readStart, o.seqStart);
+  g.leftClip = 0;
+  g.rightClip = 0;
+  if (o.readStart > o.seqStart) g.leftClip = o.readStart - o.seqStart;
+  for (int i = 0; i < g.leftOver; ++i) {
     if (seq[o.seqStart - i - 1] == 4) {
-      leftClip = leftOver - i;
-      leftOver = i;
+      g.leftClip = g.leftOver - i;
+      g.leftOver = i;
       break;
     }
   }
-  EditStats st = BandedGlobalAlignStats(
-      seq + o.seqStart - leftOver, leftOver, r + o.readStart - leftOver,
-      leftOver, 5, scratch);
-  int matchCnt = st.match;
-
-  int rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
+  g.rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
   if (len - 1 - o.readEnd > seqLen - 1 - o.seqEnd)
-    rightClip = (len - 1 - o.readEnd) - (seqLen - 1 - o.seqEnd);
-  for (int i = 0; i < rightOver; ++i) {
+    g.rightClip = (len - 1 - o.readEnd) - (seqLen - 1 - o.seqEnd);
+  for (int i = 0; i < g.rightOver; ++i) {
     if (seq[o.seqEnd + 1 + i] == 4) {
-      rightClip = rightOver - i;
-      rightOver = i;
+      g.rightClip = g.rightOver - i;
+      g.rightOver = i;
       break;
     }
   }
-  st = BandedGlobalAlignStats(seq + o.seqEnd + 1, rightOver,
-                              r + o.readEnd + 1, rightOver, 5, scratch);
-  matchCnt += st.match;
+  return g;
+}
+
+// Combine precomputed overhang match counts with the geometry into the
+// extended overlap; returns whether it passes the similarity floor.
+static bool ExtendCombine(Engine& eng, const Overlap& o, const ExtGeom& g,
+                          int leftMatch, int rightMatch, Overlap* out) {
+  int leftOver = g.leftOver, rightOver = g.rightOver;
+  int leftClip = g.leftClip, rightClip = g.rightClip;
+  int matchCnt = leftMatch + rightMatch;
 
   out->seq = o.seq;
   out->readStart = o.readStart - leftOver;
@@ -885,43 +913,38 @@ static bool ExtendOverlap(Engine& eng, const int8_t* r, int len, const Overlap& 
   return pass;
 }
 
-// Full read-end assignment (reference SeqSet.hpp:2119-2303).
-static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
-                       std::vector<Overlap>* out, AlignScratch* scratch) {
-  out->clear();
-  const int k = eng.index.k();
-  if (len < k || eng.nSeqs == 0) return;
 
-  std::vector<int8_t> rc(len);
-  for (int i = 0; i < len; ++i) {
-    int8_t c = read[len - 1 - i];
-    rc[i] = c < 4 ? 3 - c : 4;
-  }
-
-  static thread_local std::vector<Hit> hits;
-  CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
-
-  std::vector<Overlap> overlaps;
-  std::vector<std::vector<Seed>> seeds;
-  BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
-  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds, scratch);
+// Extension loop + near-best full-span pass + truncation — the tail of
+// the read assignment shared by the inline and deferred-DP paths.  The
+// overhang DP is abstracted behind extStats(sortedOverlapIdx, overlap,
+// geom, r) -> {leftMatch, rightMatch}; everything downstream of it
+// (including the sequential onlyConsiderClip state machine and the
+// full-span edit walks) runs here.
+template <class ExtStats>
+static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
+                                  const int8_t* rcData, int len, int weight,
+                                  std::vector<Overlap>& overlaps,
+                                  std::vector<Overlap>* out,
+                                  AlignScratch* scratch, ExtStats&& extStats) {
   if (overlaps.empty()) return;
-
-  std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
-  const int8_t* r = overlaps[0].strand == 1 ? read : rc.data();
+  const int8_t* r = overlaps[0].strand == 1 ? read : rcData;
 
   std::vector<Overlap>& ext = *out;
   bool onlyConsiderClip = false;
   int goodMatchCnt = -1;
-  for (const Overlap& o : overlaps) {
+  for (int oi = 0; oi < (int)overlaps.size(); ++oi) {
+    const Overlap& o = overlaps[oi];
     if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
     bool needClip = eng.SeparatorInRange(o.seqStart - o.readStart,
                                          o.seqEnd + (len - o.readEnd - 1), o.seq);
     if (onlyConsiderClip && o.matchCnt < goodMatchCnt &&
         (!needClip || o.similarity < 0.95))
       continue;
+    ExtGeom g = ExtendGeometry(eng, o, len);
+    int lm = 0, rm = 0;
+    extStats(oi, o, g, r, &lm, &rm);
     Overlap e;
-    if (ExtendOverlap(eng, r, len, o, &e, scratch)) {
+    if (ExtendCombine(eng, o, g, lm, rm, &e)) {
       ext.push_back(e);
       if (!onlyConsiderClip && (goodMatchCnt == -1 || o.matchCnt > goodMatchCnt))
         goodMatchCnt = o.matchCnt;
@@ -983,6 +1006,332 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
     while (j < ext.size() && ext[j].similarity >= ext[0].similarity - 0.1) ++j;
     ext.resize(j);
   }
+}
+
+// Full read-end assignment (reference SeqSet.hpp:2119-2303).
+static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
+                       std::vector<Overlap>* out, AlignScratch* scratch) {
+  out->clear();
+  const int k = eng.index.k();
+  if (len < k || eng.nSeqs == 0) return;
+
+  std::vector<int8_t> rc(len);
+  for (int i = 0; i < len; ++i) {
+    int8_t c = read[len - 1 - i];
+    rc[i] = c < 4 ? 3 - c : 4;
+  }
+
+  static thread_local std::vector<Hit> hits;
+  CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
+
+  std::vector<Overlap> overlaps;
+  std::vector<std::vector<Seed>> seeds;
+  BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
+  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds, scratch);
+  if (overlaps.empty()) return;
+
+  std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
+  AssignExtendAndFinish(
+      eng, read, rc.data(), len, weight, overlaps, out, scratch,
+      [&](int, const Overlap& o, const ExtGeom& g, const int8_t* r, int* lm,
+          int* rm) {
+        const int8_t* seq = eng.Seq(o.seq);
+        *lm = BandedGlobalAlignStats(seq + o.seqStart - g.leftOver, g.leftOver,
+                                     r + o.readStart - g.leftOver, g.leftOver,
+                                     5, scratch)
+                  .match;
+        *rm = BandedGlobalAlignStats(seq + o.seqEnd + 1, g.rightOver,
+                                     r + o.readEnd + 1, g.rightOver, 5,
+                                     scratch)
+                  .match;
+      });
+}
+
+// ------------------------------------------------------- deferred DP mode
+// The assignment pipeline with the small banded alignments (seed-gap
+// fill and overhang extension) batched out to an external scorer — on
+// TPU, the band-packed Pallas stats kernel (ops/align_pallas_band.py).
+// Three phases driven from Python:
+//   begin  — seed/chain per read; emit gap-fill DP items
+//   counts — fold gap match counts; similarity filter + sort; emit
+//            speculative extension items for every surviving overlap
+//            (the onlyConsiderClip walk may skip some — their results
+//            simply go unused)
+//   finish — replay the extension state machine on the batched counts,
+//            then the near-best full-span edit walks (host: they feed
+//            the per-base coverage scatter) and result staging.
+// Items whose shape can't ride the W=32 band window (|Δlen| > 10) or
+// exceed the device length cap are aligned inline — the external counts
+// are exact (the kernel is bit-exact vs BandedGlobalAlignStats), so the
+// end-to-end output is byte-identical to the inline path.
+
+constexpr int kDeferMaxDiff = 10;   // window-fit guarantee: 5+10+|ML|<=30<32
+constexpr int kDeferMaxLen = 192;   // device item length cap
+
+struct DeferItem {
+  int32_t readIdx;
+  int64_t tOff;   // absolute offset into the packed reference
+  int32_t tLen;
+  int32_t pOff;   // offset into the strand-resolved read
+  int32_t pLen;
+  bool useRc;
+};
+
+struct DeferRead {
+  const int8_t* read = nullptr;
+  int len = 0;
+  int32_t weight = 0;
+  std::vector<int8_t> rc;
+  std::vector<Overlap> overlaps;
+  std::vector<std::vector<Seed>> seeds;
+  std::vector<int32_t> gapOv;             // per local gap item: overlap idx
+  std::vector<DeferItem> localItems;      // phase-local emission buffer
+  // Per sorted-overlap extension slots: global item idx, -1 = zero-length
+  // window (match 0), -2 = inline fallback at finish.
+  std::vector<std::array<int64_t, 2>> extSlots;
+  int64_t itemBegin = 0;                  // global range of this read's items
+};
+
+struct DeferState {
+  std::vector<DeferRead> reads;
+  std::vector<DeferItem> items;
+  int32_t maxTL = 0, maxPL = 0;
+  int phase = 0;
+};
+
+static bool DeferEligible(int tLen, int pLen) {
+  int d = tLen - pLen;
+  if (d < -kDeferMaxDiff || d > kDeferMaxDiff) return false;
+  return tLen <= kDeferMaxLen && pLen <= kDeferMaxLen;
+}
+
+// Phase A: seed/chain every read, record gap-fill items.
+static void DeferBegin(Engine& eng, const int8_t* readCodes,
+                       const int64_t* readStarts, const int32_t* readLens,
+                       const int32_t* weights, int64_t nReads) {
+  DeferState& st = *eng.defer;
+  st.reads.assign(nReads, {});
+  st.items.clear();
+  st.maxTL = st.maxPL = 0;
+  const int k = eng.index.k();
+
+  int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
+  if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
+  auto worker = [&](int tid) {
+    AlignScratch scratch;
+    int64_t lo = nReads / nt * tid;
+    int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
+    for (int64_t i = lo; i < hi; ++i) {
+      DeferRead& dr = st.reads[i];
+      dr.read = readCodes + readStarts[i];
+      dr.len = readLens[i];
+      dr.weight = weights[i];
+      if (dr.len < k || eng.nSeqs == 0) continue;
+      dr.rc.resize(dr.len);
+      for (int j = 0; j < dr.len; ++j) {
+        int8_t c = dr.read[dr.len - 1 - j];
+        dr.rc[j] = c < 4 ? 3 - c : 4;
+      }
+      static thread_local std::vector<Hit> hits;
+      CollectHitsSorted(eng, dr.read, dr.len, dr.rc.data(), 0, &hits);
+      BuildOverlaps(eng, hits, eng.hitLenRequired, &dr.overlaps, &dr.seeds);
+      ScoreOverlapsCore(
+          eng, dr.read, dr.rc.data(), dr.len, &dr.overlaps, &dr.seeds,
+          [&](int ov, int seq, int tOff, int tLen, const int8_t* r, int pOff,
+              int pLen) -> int {
+            if (tLen <= 0 || pLen <= 0) return 0;
+            if (!DeferEligible(tLen, pLen))
+              return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
+                                            r + pOff, pLen, 5, &scratch)
+                  .match;
+            DeferItem it;
+            it.readIdx = (int32_t)i;
+            it.tOff = eng.SeqStart(seq) + tOff;
+            it.tLen = tLen;
+            it.pOff = pOff;
+            it.pLen = pLen;
+            it.useRc = r == dr.rc.data();
+            dr.localItems.push_back(it);
+            dr.gapOv.push_back(ov);
+            return 0;
+          });
+    }
+  };
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+
+  for (auto& dr : st.reads) {
+    dr.itemBegin = (int64_t)st.items.size();
+    for (const DeferItem& it : dr.localItems) {
+      st.maxTL = std::max(st.maxTL, it.tLen);
+      st.maxPL = std::max(st.maxPL, it.pLen);
+      st.items.push_back(it);
+    }
+    dr.localItems.clear();
+  }
+  st.phase = 1;
+}
+
+// Phase C: fold gap counts, finish similarity, sort, emit extension items.
+static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
+  DeferState& st = *eng.defer;
+  int64_t nReads = (int64_t)st.reads.size();
+  int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
+  if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
+  auto worker = [&](int tid) {
+    int64_t lo = nReads / nt * tid;
+    int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
+    for (int64_t i = lo; i < hi; ++i) {
+      DeferRead& dr = st.reads[i];
+      for (size_t g = 0; g < dr.gapOv.size(); ++g)
+        dr.overlaps[dr.gapOv[g]].matchCnt += 2 * match[dr.itemBegin + g];
+      dr.gapOv.clear();
+      FinalizeOverlapSimilarity(eng, dr.read, dr.rc.data(), &dr.overlaps,
+                                &dr.seeds);
+      dr.seeds.clear();
+      if (dr.overlaps.empty()) continue;
+      std::sort(dr.overlaps.begin(), dr.overlaps.end(), OverlapRankLess);
+      dr.extSlots.assign(dr.overlaps.size(),
+                         std::array<int64_t, 2>{{-1, -1}});
+      for (int oi = 0; oi < (int)dr.overlaps.size(); ++oi) {
+        const Overlap& o = dr.overlaps[oi];
+        if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
+        ExtGeom g = ExtendGeometry(eng, o, dr.len);
+        const int sides[2] = {g.leftOver, g.rightOver};
+        for (int s = 0; s < 2; ++s) {
+          if (sides[s] <= 0) continue;
+          if (!DeferEligible(sides[s], sides[s])) {
+            dr.extSlots[oi][s] = -2;
+            continue;
+          }
+          DeferItem it;
+          it.readIdx = (int32_t)i;
+          it.tOff = eng.SeqStart(o.seq) +
+                    (s == 0 ? o.seqStart - g.leftOver : o.seqEnd + 1);
+          it.tLen = sides[s];
+          it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
+          it.pLen = sides[s];
+          it.useRc = o.strand != 1;
+          dr.extSlots[oi][s] = (int64_t)dr.localItems.size();
+          dr.localItems.push_back(it);
+        }
+      }
+    }
+  };
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+
+  st.items.clear();
+  st.maxTL = st.maxPL = 0;
+  for (auto& dr : st.reads) {
+    dr.itemBegin = (int64_t)st.items.size();
+    for (auto& slots : dr.extSlots)
+      for (int s = 0; s < 2; ++s)
+        if (slots[s] >= 0) slots[s] += dr.itemBegin;
+    for (const DeferItem& it : dr.localItems) {
+      st.maxTL = std::max(st.maxTL, it.tLen);
+      st.maxPL = std::max(st.maxPL, it.pLen);
+      st.items.push_back(it);
+    }
+    dr.localItems.clear();
+  }
+  st.phase = 2;
+}
+
+// Phase E: replay the extension walk on batched counts, run the
+// near-best full-span pass, and stage results exactly like the inline
+// batch path.
+static int64_t DeferFinish(Engine& eng, const int32_t* match) {
+  DeferState& st = *eng.defer;
+  int64_t nReads = (int64_t)st.reads.size();
+  int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
+  if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
+
+  eng.lastAssign.assign(nReads, {});
+  std::vector<std::vector<double>> shardResults(nt);
+  std::vector<std::vector<int64_t>> shardCounts(nt);
+
+  auto worker = [&](int tid) {
+    AlignScratch scratch;
+    int64_t lo = nReads / nt * tid;
+    int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
+    for (int64_t i = lo; i < hi; ++i) {
+      DeferRead& dr = st.reads[i];
+      std::vector<Overlap>& assign = eng.lastAssign[i];
+      if (!dr.overlaps.empty()) {
+        AssignExtendAndFinish(
+            eng, dr.read, dr.rc.data(), dr.len, dr.weight, dr.overlaps,
+            &assign, &scratch,
+            [&](int oi, const Overlap& o, const ExtGeom& g, const int8_t* r,
+                int* lm, int* rm) {
+              const int64_t* slots = dr.extSlots[oi].data();
+              const int sides[2] = {g.leftOver, g.rightOver};
+              int res[2];
+              for (int s = 0; s < 2; ++s) {
+                if (slots[s] == -1) {
+                  res[s] = 0;
+                } else if (slots[s] == -2) {
+                  const int8_t* seq = eng.Seq(o.seq);
+                  const int8_t* t =
+                      s == 0 ? seq + o.seqStart - g.leftOver : seq + o.seqEnd + 1;
+                  const int8_t* p = s == 0 ? r + o.readStart - g.leftOver
+                                           : r + o.readEnd + 1;
+                  res[s] = BandedGlobalAlignStats(t, sides[s], p, sides[s], 5,
+                                                  &scratch)
+                               .match;
+                } else {
+                  res[s] = match[slots[s]];
+                }
+              }
+              *lm = res[0];
+              *rm = res[1];
+            });
+      }
+      for (const Overlap& o : assign) {
+        double rec[11] = {(double)o.seq,        (double)o.readStart,
+                          (double)o.readEnd,    (double)o.seqStart,
+                          (double)o.seqEnd,     (double)o.strand,
+                          (double)o.matchCnt,   (double)o.relaxedMatchCnt,
+                          o.similarity,         (double)o.leftClip,
+                          (double)o.rightClip};
+        shardResults[tid].insert(shardResults[tid].end(), rec, rec + 11);
+      }
+      shardCounts[tid].push_back((int64_t)assign.size());
+    }
+  };
+  if (nt == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+
+  eng.results.clear();
+  eng.resultOffsets.clear();
+  eng.resultOffsets.reserve(nReads + 1);
+  eng.resultOffsets.push_back(0);
+  for (int t = 0; t < nt; ++t) {
+    eng.results.insert(eng.results.end(), shardResults[t].begin(),
+                       shardResults[t].end());
+    for (int64_t c : shardCounts[t])
+      eng.resultOffsets.push_back(eng.resultOffsets.back() + c);
+  }
+  st.reads.clear();
+  st.reads.shrink_to_fit();
+  st.items.clear();
+  st.phase = 0;
+  return (int64_t)(eng.results.size() / 11);
 }
 
 // Candidate screen used by the extractor: best (strand, seq) hit bucket,
@@ -1057,7 +1406,63 @@ void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
   return eng;
 }
 
-void t1k_engine_destroy(void* e) { delete static_cast<t1k::Engine*>(e); }
+void t1k_engine_destroy(void* e) {
+  auto* eng = static_cast<t1k::Engine*>(e);
+  delete eng->defer;
+  delete eng;
+}
+
+// ---- deferred-DP batch ABI (see "deferred DP mode" above) ----
+
+// Phase A; returns the number of gap-fill DP items to score externally.
+// The read arrays must stay valid until t1k_defer_finish returns.
+int64_t t1k_defer_begin(void* e, const int8_t* read_codes,
+                        const int64_t* read_starts, const int32_t* read_lens,
+                        const int32_t* weights, int64_t n_reads) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  if (!eng.defer) eng.defer = new t1k::DeferState();
+  t1k::DeferBegin(eng, read_codes, read_starts, read_lens, weights, n_reads);
+  return (int64_t)eng.defer->items.size();
+}
+
+void t1k_defer_dims(void* e, int64_t* n_items, int32_t* max_t,
+                    int32_t* max_p) {
+  auto& st = *static_cast<t1k::Engine*>(e)->defer;
+  *n_items = (int64_t)st.items.size();
+  *max_t = st.maxTL;
+  *max_p = st.maxPL;
+}
+
+// Copy the pending items' text/pattern windows into caller buffers
+// (row-major [n_items, cap]; rows beyond each length are left untouched,
+// so pass zero-initialised arrays).
+void t1k_defer_fetch(void* e, int8_t* t_out, int32_t* t_lens, int8_t* p_out,
+                     int32_t* p_lens, int32_t t_cap, int32_t p_cap) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  auto& st = *eng.defer;
+  for (size_t i = 0; i < st.items.size(); ++i) {
+    const t1k::DeferItem& it = st.items[i];
+    std::memcpy(t_out + i * (size_t)t_cap, eng.codes + it.tOff, it.tLen);
+    t_lens[i] = it.tLen;
+    const t1k::DeferRead& dr = st.reads[it.readIdx];
+    const int8_t* p = (it.useRc ? dr.rc.data() : dr.read) + it.pOff;
+    std::memcpy(p_out + i * (size_t)p_cap, p, it.pLen);
+    p_lens[i] = it.pLen;
+  }
+}
+
+// Phase C; returns the number of extension items to score externally.
+int64_t t1k_defer_counts(void* e, const int32_t* match) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  t1k::DeferApplyGapCounts(eng, match);
+  return (int64_t)eng.defer->items.size();
+}
+
+// Phase E; returns the number of result records (same getters as
+// t1k_assign_batch).
+int64_t t1k_defer_finish(void* e, const int32_t* match) {
+  return t1k::DeferFinish(*static_cast<t1k::Engine*>(e), match);
+}
 
 void t1k_engine_set_hit_len(void* e, int32_t h) {
   static_cast<t1k::Engine*>(e)->hitLenRequired = h;

@@ -329,7 +329,7 @@ def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
 
 
 def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
-                      interpret: bool = False):
+                      ml: int = None, interpret: bool = False):
     """Scores plus match/mismatch/indel counts along the optimal
     traceback, computed by forward count propagation with the walk's
     exact tie-break rules (engine.cc BandedGlobalAlignStats) — no
@@ -344,7 +344,9 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     p_lens = np.asarray(p_lens, np.int32)
     B, Lt = t_codes.shape
     Lp = int(p_codes.shape[1])
-    ML = 5 + max(0, int((p_lens - t_lens).max(initial=0)))
+    ML = (ml if ml is not None
+          else 5 + max(0, int((p_lens - t_lens).max(initial=0))))
+    assert ML >= 5 + max(0, int((p_lens - t_lens).max(initial=0)))
     assert ML + 5 + int((t_lens - p_lens).max(initial=0)) < W, \
         "band exceeds window; use the v1 kernel"
     assert Lt + Lp + 2 < 512, "packed count fields overflow beyond 511 ops"
@@ -361,3 +363,51 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     packed = np.asarray(packed)
     return (np.asarray(scores), packed & 511, (packed >> 9) & 511,
             (packed >> 18) & 511)
+
+
+# Length buckets for the deferred-DP stats service: padding item batches
+# to a small set of static shapes keeps XLA recompiles bounded.
+_LEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192)
+# The engine only defers items with |t_len - p_len| <= 10
+# (engine.cc kDeferMaxDiff), so a fixed ML of 15 always covers the band
+# and the right edge stays inside the window: 15 + 5 + 10 == 30 < 32.
+_DEFER_ML = 15
+
+
+def _bucket(n: int) -> int:
+    for b in _LEN_BUCKETS:
+        if n <= b:
+            return b
+    return _round_up(n, 64)
+
+
+def make_deferred_stats_fn(G: int = 8, interpret: bool = False):
+    """Returns stats_fn(t_codes, t_lens, p_codes, p_lens) -> match[int32]
+    for NativeEngine.assign_batch_deferred: scores the engine's deferred
+    gap-fill / extension items on the band-packed stats kernel."""
+
+    def stats_fn(t_codes, t_lens, p_codes, p_lens):
+        t_codes = np.asarray(t_codes, np.int8)
+        p_codes = np.asarray(p_codes, np.int8)
+        n = t_codes.shape[0]
+        if n == 0:
+            return np.zeros(0, np.int32)
+        lt = _bucket(t_codes.shape[1])
+        lp = _bucket(p_codes.shape[1])
+        nb = 1
+        while nb * G * LANES < n:
+            nb *= 2
+        cap = nb * G * LANES
+        tc = np.zeros((cap, lt), np.int8)
+        pc = np.zeros((cap, lp), np.int8)
+        tc[:n, :t_codes.shape[1]] = t_codes
+        pc[:n, :p_codes.shape[1]] = p_codes
+        tl = np.zeros(cap, np.int32)
+        pl = np.zeros(cap, np.int32)
+        tl[:n] = t_lens
+        pl[:n] = p_lens
+        _, match, _, _ = banded_stats_band(tc, tl, pc, pl, G=G, ml=_DEFER_ML,
+                                           interpret=interpret)
+        return match[:n].astype(np.int32)
+
+    return stats_fn
