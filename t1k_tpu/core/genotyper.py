@@ -89,10 +89,23 @@ class Genotyper:
         self.allele_len = np.array([a.length for a in refset.alleles], dtype=np.int32)
         self.whitelist = np.ones(self.allele_cnt, dtype=bool)
 
-        # read groups (post-coalesce)
+        # read groups (post-coalesce).  The canonical storage is the flat
+        # CSR below (built by coalesce_arrays, or from the object lists in
+        # finalize for the object-based coalesce path); `read_groups`
+        # holds objects only on that legacy path.
         self.read_groups: List[List[ReadAssignment]] = []
         self._fingerprint_to_idx: Dict[int, List[int]] = {}
-        self.reads_in_allele: List[List[Tuple[int, int]]] = [[] for _ in range(self.allele_cnt)]
+        self._grp_off: Optional[np.ndarray] = None   # [G+1] int64
+        self._flat_allele: Optional[np.ndarray] = None
+        self._flat_start: Optional[np.ndarray] = None
+        self._flat_end: Optional[np.ndarray] = None
+        self._flat_weight: Optional[np.ndarray] = None  # float32
+        self._flat_qual: Optional[np.ndarray] = None    # float32
+        self._flat_adjust: Optional[np.ndarray] = None  # float32
+        # reads-in-allele CSR: for each allele, (group, position) rows
+        self._ria_off: Optional[np.ndarray] = None
+        self._ria_grp: Optional[np.ndarray] = None
+        self._ria_pos: Optional[np.ndarray] = None
 
         self.ec_to_alleles: List[List[int]] = []
         self.allele_ec = np.full(self.allele_cnt, -1, dtype=np.int64)
@@ -165,50 +178,51 @@ class Genotyper:
     def coalesce_arrays(self, rec: np.ndarray, counts: np.ndarray) -> int:
         """Array-based coalescing over the native fragment stage's output
         (records [N,6]: allele/start/end/weight/adjust/qual).  Semantics
-        identical to coalesce(); group state is held in numpy arrays
-        (float32 accumulation) and materialized into ReadAssignment lists
-        at the end."""
+        identical to coalesce(): fragments with the same sorted
+        (allele, qual) vector merge into one group, with the float32
+        accumulation and the min-start / quirky-end updates applied in
+        fragment order.  Writes the flat group CSR directly."""
+        counts = np.asarray(counts, dtype=np.int64)
         off = np.zeros(len(counts) + 1, dtype=np.int64)
         off[1:] = np.cumsum(counts)
+        n_rows = int(off[-1])
+
+        alleles_all = rec[:, 0].astype(np.int64)
+        frag_id = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((alleles_all, frag_id))
+        alleles_all = alleles_all[order]
+        starts_all = rec[order, 1].astype(np.int64)
+        ends_all = rec[order, 2].astype(np.int64)
+        w_all = rec[order, 3].astype(np.float32)
+        adj_all = rec[order, 4].astype(np.float32)
+        q_all = rec[order, 5].astype(np.float32)
+
         groups: List[dict] = []
-        fp_to_idx: Dict[int, List[int]] = {}
+        key_to_idx: Dict[bytes, int] = {}
         ret = 0
-        allele_cnt = self.allele_cnt
         for i in range(len(counts)):
-            s, e = off[i], off[i + 1]
+            s, e = int(off[i]), int(off[i + 1])
             if s == e:
                 continue
             ret += 1
-            sl = rec[s:e]
-            order = np.argsort(sl[:, 0], kind="stable")
-            sl = sl[order]
-            alleles = sl[:, 0].astype(np.int64)
-            quals = sl[:, 5].astype(np.float32)
-            fp = 0
-            for a in alleles:
-                fp = (fp * allele_cnt + int(a)) % READ_GROUP_FINGERPRINT_MOD
-            add_to = -1
-            for idx in fp_to_idx.get(fp, ()):
-                g = groups[idx]
-                if (len(g["alleles"]) == len(alleles)
-                        and np.array_equal(g["alleles"], alleles)
-                        and np.array_equal(g["quals"], quals)):
-                    add_to = idx
-                    break
+            alleles = alleles_all[s:e]
+            quals = q_all[s:e]
+            key = alleles.tobytes() + quals.tobytes()
+            add_to = key_to_idx.get(key, -1)
             if add_to == -1:
+                key_to_idx[key] = len(groups)
                 groups.append({
                     "alleles": alleles,
                     "quals": quals,
-                    "starts": sl[:, 1].astype(np.int64),
-                    "ends": sl[:, 2].astype(np.int64),
-                    "weights": sl[:, 3].astype(np.float32),
-                    "adjusts": sl[:, 4].astype(np.float32),
+                    "starts": starts_all[s:e].copy(),
+                    "ends": ends_all[s:e].copy(),
+                    "weights": w_all[s:e].copy(),
+                    "adjusts": adj_all[s:e].copy(),
                 })
-                fp_to_idx.setdefault(fp, []).append(len(groups) - 1)
             else:
                 g = groups[add_to]
-                starts = sl[:, 1].astype(np.int64)
-                ends = sl[:, 2].astype(np.int64)
+                starts = starts_all[s:e]
+                ends = ends_all[s:e]
                 q1 = quals == 1
                 g["starts"] = np.where(q1 & (starts < g["starts"]),
                                        starts, g["starts"])
@@ -216,20 +230,28 @@ class Genotyper:
                 # incoming *start* (Genotyper.hpp:893-894)
                 g["ends"] = np.where(q1 & (ends < g["ends"]),
                                      starts, g["ends"])
-                g["weights"] = g["weights"] + sl[:, 3].astype(np.float32)
-                g["adjusts"] = g["adjusts"] + sl[:, 4].astype(np.float32)
-        base = len(self.read_groups)
-        for gi, g in enumerate(groups):
-            self.read_groups.append([
-                ReadAssignment(
-                    allele_idx=int(g["alleles"][j]),
-                    start=int(g["starts"][j]), end=int(g["ends"][j]),
-                    weight=np.float32(g["weights"][j]),
-                    qual=np.float32(g["quals"][j]),
-                    adjust_weight=np.float32(g["adjusts"][j]),
-                ) for j in range(len(g["alleles"]))
-            ])
-        del base
+                g["weights"] = g["weights"] + w_all[s:e]
+                g["adjusts"] = g["adjusts"] + adj_all[s:e]
+
+        gcnts = np.array([len(g["alleles"]) for g in groups], dtype=np.int64)
+        goff = np.zeros(len(groups) + 1, dtype=np.int64)
+        goff[1:] = np.cumsum(gcnts)
+        if groups:
+            self._flat_allele = np.concatenate([g["alleles"] for g in groups])
+            self._flat_start = np.concatenate([g["starts"] for g in groups])
+            self._flat_end = np.concatenate([g["ends"] for g in groups])
+            self._flat_weight = np.concatenate([g["weights"] for g in groups])
+            self._flat_qual = np.concatenate([g["quals"] for g in groups])
+            self._flat_adjust = np.concatenate([g["adjusts"] for g in groups])
+        else:
+            self._flat_allele = np.zeros(0, np.int64)
+            self._flat_start = np.zeros(0, np.int64)
+            self._flat_end = np.zeros(0, np.int64)
+            self._flat_weight = np.zeros(0, np.float32)
+            self._flat_qual = np.zeros(0, np.float32)
+            self._flat_adjust = np.zeros(0, np.float32)
+        self._grp_off = goff
+        del n_rows
         return ret
 
     @staticmethod
@@ -242,15 +264,71 @@ class Genotyper:
         return True
 
     # ----------------------------------------------------------- finalize
+    @property
+    def read_group_count(self) -> int:
+        if self._grp_off is not None:
+            return len(self._grp_off) - 1
+        return len(self.read_groups)
+
+    def _build_group_arrays_from_objects(self) -> None:
+        """Flatten the object read groups (legacy coalesce path) into the
+        CSR arrays that the downstream stages operate on."""
+        G = len(self.read_groups)
+        gcnts = np.fromiter((len(ra) for ra in self.read_groups), np.int64, G)
+        off = np.zeros(G + 1, dtype=np.int64)
+        off[1:] = np.cumsum(gcnts)
+        n = int(off[-1])
+        allele = np.empty(n, np.int64)
+        start = np.empty(n, np.int64)
+        end = np.empty(n, np.int64)
+        weight = np.empty(n, np.float32)
+        qual = np.empty(n, np.float32)
+        adjust = np.empty(n, np.float32)
+        i = 0
+        for ra in self.read_groups:
+            for a in ra:
+                allele[i] = a.allele_idx
+                start[i] = a.start
+                end[i] = a.end
+                weight[i] = a.weight
+                qual[i] = a.qual
+                adjust[i] = a.adjust_weight
+                i += 1
+        self._grp_off = off
+        self._flat_allele = allele
+        self._flat_start = start
+        self._flat_end = end
+        self._flat_weight = weight
+        self._flat_qual = qual
+        self._flat_adjust = adjust
+
+    def _ria_pairs(self, a: int):
+        """(group, position) rows supporting allele a, in group order."""
+        s, e = int(self._ria_off[a]), int(self._ria_off[a + 1])
+        return zip(self._ria_grp[s:e].tolist(), self._ria_pos[s:e].tolist())
+
+    def _ria_len(self, a: int) -> int:
+        return int(self._ria_off[a + 1] - self._ria_off[a])
+
     def finalize(self, pos_weight: np.ndarray, packed) -> int:
         """Build reads-in-allele lists, equivalence classes, and per-allele
         missing coverage (Genotyper.hpp:912-939)."""
-        ret = 0
-        for i, ra in enumerate(self.read_groups):
-            if ra:
-                ret += 1
-            for j, a in enumerate(ra):
-                self.reads_in_allele[a.allele_idx].append((i, j))
+        if self._grp_off is None:
+            self._build_group_arrays_from_objects()
+        off = self._grp_off
+        G = len(off) - 1
+        ret = int(np.count_nonzero(np.diff(off)))
+        # reads-in-allele CSR: rows sorted by allele, preserving
+        # (group, position) order within each allele
+        n = int(off[-1])
+        rows = np.argsort(self._flat_allele, kind="stable")
+        grp_of_row = np.repeat(np.arange(G, dtype=np.int64), np.diff(off))
+        pos_of_row = np.arange(n, dtype=np.int64) - off[grp_of_row]
+        self._ria_grp = grp_of_row[rows]
+        self._ria_pos = pos_of_row[rows]
+        self._ria_off = np.zeros(self.allele_cnt + 1, dtype=np.int64)
+        np.cumsum(np.bincount(self._flat_allele, minlength=self.allele_cnt),
+                  out=self._ria_off[1:])
         self._build_equivalence_classes()
         self._remove_low_mapq()
         self.allele_missing = compute_missing_coverage(self.refset, packed, pos_weight)
@@ -259,14 +337,14 @@ class Genotyper:
     def _build_equivalence_classes(self) -> None:
         """Group alleles by identical supporting read sets; fingerprint with
         uint32 wraparound exactly like the reference (Genotyper.hpp:1072-1139)."""
-        read_cnt = len(self.read_groups)
+        read_cnt = self.read_group_count
         fps = []
         for i in range(self.allele_cnt):
-            rl = self.reads_in_allele[i]
-            if rl:
+            s, e = int(self._ria_off[i]), int(self._ria_off[i + 1])
+            if e > s:
                 # uint32 wraparound fold, exactly as the reference computes it
                 b = 0
-                for (a, _) in rl:
+                for a in self._ria_grp[s:e].tolist():
                     b = ((b * read_cnt + a) & 0xFFFFFFFF) % EC_FINGERPRINT_MOD
                 fps.append((i, b))
             else:
@@ -285,8 +363,7 @@ class Genotyper:
             for j in range(i - 1, -1, -1):
                 if fps[j][1] != fp:
                     break
-                if self._same_read_set(self.reads_in_allele[allele_idx],
-                                       self.reads_in_allele[fps[j][0]]):
+                if self._same_read_set(allele_idx, fps[j][0]):
                     new_ec = False
                     match_j = j
                     break
@@ -298,23 +375,24 @@ class Genotyper:
                 self.ec_to_alleles[ec].append(allele_idx)
                 self.allele_ec[allele_idx] = ec
 
-    def _same_read_set(self, l1, l2) -> bool:
-        if len(l1) != len(l2):
+    def _same_read_set(self, a1: int, a2: int) -> bool:
+        s1, e1 = int(self._ria_off[a1]), int(self._ria_off[a1 + 1])
+        s2, e2 = int(self._ria_off[a2]), int(self._ria_off[a2 + 1])
+        if e1 - s1 != e2 - s2:
             return False
-        for (a1, b1), (a2, b2) in zip(l1, l2):
-            if a1 != a2:
-                return False
-            if self.read_groups[a1][b1].qual != self.read_groups[a2][b2].qual:
-                return False
-        return True
+        if not np.array_equal(self._ria_grp[s1:e1], self._ria_grp[s2:e2]):
+            return False
+        q = self._flat_qual
+        r1 = self._grp_off[self._ria_grp[s1:e1]] + self._ria_pos[s1:e1]
+        r2 = self._grp_off[self._ria_grp[s2:e2]] + self._ria_pos[s2:e2]
+        return bool(np.array_equal(q[r1], q[r2]))
 
     def _remove_low_mapq(self) -> None:
         """Within each EC keep only alleles with the maximal summed read
         quality (Genotyper.hpp:1330-1368)."""
         qual_sum = np.zeros(self.allele_cnt, dtype=np.float64)
-        for ra in self.read_groups:
-            for a in ra:
-                qual_sum[a.allele_idx] += float(a.qual)
+        np.add.at(qual_sum, self._flat_allele,
+                  self._flat_qual.astype(np.float64))
         for i, alleles in enumerate(self.ec_to_alleles):
             mx = max(qual_sum[a] for a in alleles)
             self.ec_to_alleles[i] = [a for a in alleles if qual_sum[a] == mx]
@@ -323,24 +401,27 @@ class Genotyper:
     def _read_group_csr(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Read-group -> distinct EC ids (first-appearance order) and the
         per-group fragment count (max weight) — Genotyper.hpp:1150-1189."""
-        offsets = [0]
-        ecs: List[int] = []
-        counts = []
-        for ra in self.read_groups:
-            count = float(ra[0].weight)
-            for a in ra[1:]:
-                if float(a.weight) > count:
-                    count = float(a.weight)
-            counts.append(count)
-            seen = set()
-            for a in ra:
-                ec = int(self.allele_ec[a.allele_idx])
-                if ec not in seen:
-                    seen.add(ec)
-                    ecs.append(ec)
-            offsets.append(len(ecs))
-        return (np.array(offsets, dtype=np.int64), np.array(ecs, dtype=np.int32),
-                np.array(counts, dtype=np.float64))
+        off = self._grp_off
+        G = len(off) - 1
+        if G == 0:
+            return (np.zeros(1, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.float64))
+        # per-group max weight (float32 max, widened after — same value as
+        # the sequential float() comparisons)
+        counts = np.maximum.reduceat(self._flat_weight, off[:-1]).astype(
+            np.float64)
+        # distinct ECs per group in first-appearance order
+        ec_cnt = len(self.ec_to_alleles)
+        grp_of_row = np.repeat(np.arange(G, dtype=np.int64), np.diff(off))
+        ec_row = self.allele_ec[self._flat_allele]
+        key = grp_of_row * (ec_cnt + 1) + ec_row
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        ecs = ec_row[first].astype(np.int32)
+        offsets = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(np.bincount(grp_of_row[first], minlength=G),
+                  out=offsets[1:])
+        return offsets, ecs, counts
 
     def quantify(self) -> int:
         """Run SQUAREM EM; returns iteration count (Genotyper.hpp:1142-1328)."""
@@ -435,42 +516,46 @@ class Genotyper:
     # ------------------------------------------- likelihood-based pruning
     def remove_low_likelihood(self) -> None:
         """Prune EC members whose covered span is unlikely given the EC
-        abundance (Genotyper.hpp:1371-1460)."""
+        abundance (Genotyper.hpp:1371-1460).  Vectorized: the per-allele
+        min-start / max-end over the representative's supporting reads is
+        a scatter-min/max over the flattened group rows."""
+        off = self._grp_off
+        lut = np.full(self.allele_cnt, -1, dtype=np.int64)
         for i, alleles in enumerate(self.ec_to_alleles):
-            size = len(alleles)
-            min_starts = [int(self.allele_len[a]) for a in alleles]
-            max_ends = [-1] * size
-            idx_of = {a: j for j, a in enumerate(alleles)}
+            al = np.asarray(alleles, dtype=np.int64)
+            size = len(al)
+            min_starts = self.allele_len[al].astype(np.int64)
+            max_ends = np.full(size, -1, dtype=np.int64)
+            lut[al] = np.arange(size)
             rep = alleles[0]
-            for (read_idx, _) in self.reads_in_allele[rep]:
-                for a in self.read_groups[read_idx]:
-                    j = idx_of.get(a.allele_idx)
-                    if j is None:
-                        continue
-                    if a.start < min_starts[j]:
-                        min_starts[j] = a.start
-                    if a.end > max_ends[j]:
-                        max_ends[j] = a.end
-            max_ll = -1.0
-            lls = []
-            for j, a in enumerate(alleles):
-                ln = int(self.allele_len[a])
-                eff = max_ends[j] - min_starts[j] + 1
-                if eff > ln:
-                    eff = ln
-                ll = (float(eff) / ln) ** self.ec_abundance_per_allele[a]
-                lls.append(ll)
-                if ll > max_ll:
-                    max_ll = ll
-            kept = [a for j, a in enumerate(alleles)
-                    if lls[j] / max_ll >= EC_LIKELIHOOD_CUTOFF or lls[j] == max_ll]
-            self.ec_to_alleles[i] = kept
+            s, e = int(self._ria_off[rep]), int(self._ria_off[rep + 1])
+            if e > s:
+                grp = self._ria_grp[s:e]
+                cnts = off[grp + 1] - off[grp]
+                total = int(cnts.sum())
+                rows = (np.repeat(off[grp], cnts)
+                        + np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(cnts) - cnts, cnts))
+                slot = lut[self._flat_allele[rows]]
+                m = slot >= 0
+                sm = slot[m]
+                np.minimum.at(min_starts, sm, self._flat_start[rows[m]])
+                np.maximum.at(max_ends, sm, self._flat_end[rows[m]])
+            lut[al] = -1
+            ln = self.allele_len[al].astype(np.int64)
+            eff = np.minimum(max_ends - min_starts + 1, ln)
+            lls = (eff.astype(np.float64) / ln) ** \
+                self.ec_abundance_per_allele[al]
+            max_ll = lls.max(initial=-1.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                keep = (lls / max_ll >= EC_LIKELIHOOD_CUTOFF) | (lls == max_ll)
+            self.ec_to_alleles[i] = [a for a, k in zip(alleles, keep) if k]
 
     # ----------------------------------------------------------- selection
     def select_alleles(self) -> None:
         """Greedy EC selection + pairwise allele-type re-ranking + quality
         (Genotyper.hpp:1462-2090)."""
-        read_cnt = len(self.read_groups)
+        read_cnt = self.read_group_count
         read_covered = np.zeros(read_cnt, dtype=bool)
         self.selected_alleles = [[] for _ in range(self.gene_cnt)]
         cfg = self.cfg
@@ -490,11 +575,11 @@ class Genotyper:
 
             covered = 0.0
             total_assigned = 0.0
-            read_list = self.reads_in_allele[allele_idx]
+            read_list = list(self._ria_pairs(allele_idx))
             for (ri, rj) in read_list:
-                if self.read_groups[ri][rj].qual != 1:
+                if self._flat_qual[self._grp_off[ri] + rj] != 1:
                     continue
-                w = float(self.read_groups[ri][0].weight)
+                w = float(self._flat_weight[self._grp_off[ri]])
                 if read_covered[ri]:
                     covered += w
                 total_assigned += w
@@ -528,7 +613,7 @@ class Genotyper:
                 quality = 0
             if genes_to_add:
                 for (ri, rj) in read_list:
-                    if self.read_groups[ri][rj].qual == 1:
+                    if self._flat_qual[self._grp_off[ri] + rj] == 1:
                         read_covered[ri] = True
             gene_allele_types: Dict[int, int] = {}
             for a in alleles_to_add:
@@ -591,8 +676,8 @@ class Genotyper:
                 if ec in used_ec:
                     continue
                 used_ec[ec] = 1
-                for (ri, rj) in self.reads_in_allele[a]:
-                    if self.read_groups[ri][rj].qual != 1:
+                for (ri, rj) in self._ria_pairs(a):
+                    if self._flat_qual[self._grp_off[ri] + rj] != 1:
                         continue
                     if read_coverage[ri] == 0:
                         total_covered += 1
@@ -636,8 +721,8 @@ class Genotyper:
                     if ec in used_ec:
                         continue
                     used_ec[ec] = 1
-                    for (ri, rj) in self.reads_in_allele[a]:
-                        if self.read_groups[ri][rj].qual == 1:
+                    for (ri, rj) in self._ria_pairs(a):
+                        if self._flat_qual[self._grp_off[ri] + rj] == 1:
                             read_coverage[ri] -= 1
 
                 j = 0
@@ -652,9 +737,9 @@ class Genotyper:
                         if ec in used_ec:
                             continue
                         used_ec[ec] = 1
-                        for (ri, rj) in self.reads_in_allele[a]:
+                        for (ri, rj) in self._ria_pairs(a):
                             if (read_coverage[ri] == 0
-                                    and self.read_groups[ri][rj].qual == 1):
+                                    and self._flat_qual[self._grp_off[ri] + rj] == 1):
                                 covered_from_a[ri] = covered_from_a.get(ri, 0) | 1
                         allele_j = l
                     for k in range(j + 1, type_cnt):
@@ -667,9 +752,9 @@ class Genotyper:
                             if ec in used_ec:
                                 continue
                             used_ec[ec] = 1
-                            for (ri, rj) in self.reads_in_allele[a]:
+                            for (ri, rj) in self._ria_pairs(a):
                                 if (read_coverage[ri] == 0
-                                        and self.read_groups[ri][rj].qual == 1):
+                                        and self._flat_qual[self._grp_off[ri] + rj] == 1):
                                     covered[ri] = covered.get(ri, 0) | 2
                             allele_k = l
 
@@ -689,7 +774,7 @@ class Genotyper:
 
                         covered_cnt = 0.0
                         for ri in sorted(covered.keys()):
-                            covered_cnt += float(self.read_groups[ri][0].adjust_weight)
+                            covered_cnt += float(self._flat_adjust[self._grp_off[ri]])
 
                         if type_cnt > 3 or j_missing >= 10 or k_missing >= 10:
                             wj = missing_weight[g].get(j_missing, 0.0)
@@ -742,8 +827,8 @@ class Genotyper:
                     if ec in used_ec:
                         continue
                     used_ec[ec] = 1
-                    for (ri, rj) in self.reads_in_allele[a]:
-                        if self.read_groups[ri][rj].qual == 1:
+                    for (ri, rj) in self._ria_pairs(a):
+                        if self._flat_qual[self._grp_off[ri] + rj] == 1:
                             read_coverage[ri] += 1
             if updated == 0:
                 break

@@ -221,7 +221,7 @@ def run_genotyper(
         genotyper.finalize(pos_weight, packed)
         sctx["fragment_count"] = read_cnt
         sctx["aligned_fragment_count"] = aligned_fragment_cnt
-        sctx["read_group_count"] = len(genotyper.read_groups)
+        sctx["read_group_count"] = genotyper.read_group_count
         sctx["equivalence_class_count"] = len(genotyper.ec_to_alleles)
 
     assign_rows = None

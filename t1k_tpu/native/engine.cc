@@ -23,6 +23,7 @@
 #include <cmath>
 #include <algorithm>
 #include <thread>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -960,15 +961,38 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
     for (int i = 1; i < (int)ext.size(); ++i)
       if (OverlapRankLess(ext[i], ext[bestIdx])) bestIdx = i;
     int bestMatch = ext[bestIdx].matchCnt;
-    std::vector<int8_t> edits;
+    // Candidate alleles frequently present byte-identical windows over
+    // the read span (they differ only at sites outside it), and the edit
+    // walk depends only on the two window contents — cache walks per
+    // read keyed by (span, window bytes) and replay the per-allele
+    // scatter/recount from the cached walk.  (The reference recomputes
+    // the DP per candidate; results are identical.)
+    static thread_local std::unordered_map<std::string, std::vector<int8_t>>
+        walkCache;
+    walkCache.clear();
+    std::string key;
     for (Overlap& e : ext) {
       if (e.matchCnt < bestMatch - 10) {
         e.relaxedMatchCnt = 0;
         continue;
       }
+      if (!eng.relaxIntron && weight <= 0) {
+        // the walk would feed only the coverage scatter (weight) and the
+        // exon-relaxed recount (relaxIntron) — neither is active
+        e.relaxedMatchCnt = e.matchCnt;
+        continue;
+      }
       const int8_t* seq = eng.Seq(e.seq);
-      BandedGlobalAlign(seq + e.seqStart, e.seqEnd - e.seqStart + 1, r + e.readStart,
-                        e.readEnd - e.readStart + 1, 5, &edits, scratch);
+      const int spanT = e.seqEnd - e.seqStart + 1;
+      key.resize(8 + spanT);
+      std::memcpy(&key[0], &e.readStart, 4);
+      std::memcpy(&key[4], &e.readEnd, 4);
+      std::memcpy(&key[8], seq + e.seqStart, spanT);
+      auto ins = walkCache.try_emplace(key);
+      std::vector<int8_t>& edits = ins.first->second;
+      if (ins.second)
+        BandedGlobalAlign(seq + e.seqStart, spanT, r + e.readStart,
+                          e.readEnd - e.readStart + 1, 5, &edits, scratch);
       const uint8_t* exon = eng.exonMask + eng.SeqStart(e.seq);
       const int seqLenClamp = eng.SeqLen(e.seq) - 1;
       if (eng.relaxIntron) {
