@@ -72,6 +72,7 @@ class GenotypeResult:
 def assign_unique_reads(
     engine, seqs: List[str], zero_weights: bool = False,
     dp_backend: str = "native", dp_interpret: bool = False,
+    store_results: bool = True,
 ) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Group identical read sequences; run the engine once per unique
     sequence with the group size as the coverage weight
@@ -111,9 +112,11 @@ def assign_unique_reads(
 
         rec, off = engine.assign_batch_deferred(
             codes, starts, lens, w,
-            make_deferred_stats_fn(interpret=dp_interpret))
+            make_deferred_stats_fn(interpret=dp_interpret),
+            store_results=store_results)
     else:
-        rec, off = engine.assign_batch(codes, starts, lens, w)
+        rec, off = engine.assign_batch(codes, starts, lens, w,
+                                       store_results=store_results)
     return uniq, group_of, rec, off
 
 
@@ -196,10 +199,10 @@ def run_genotyper(
     all_seqs = seqs1 + seqs2
     with stage("read_assignment") as ctx:
         uniq, group_of, rec, off = assign_unique_reads(
-            engine, all_seqs, dp_backend=opts.backend)
+            engine, all_seqs, dp_backend=opts.backend, store_results=False)
         ctx["read_count"] = len(all_seqs)
         ctx["unique_read_count"] = len(uniq)
-        ctx["alignment_count"] = int(rec.shape[0])
+        ctx["alignment_count"] = engine.last_assign_count
     del rec, off  # per-read results stay inside the engine
     log("Finish read end assignments.")
 

@@ -66,6 +66,7 @@ _lib.t1k_align_global.restype = ct.c_int32
 _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
 ]
+_lib.t1k_engine_set_store_results.argtypes = [ct.c_void_p, ct.c_int32]
 _lib.t1k_defer_begin.restype = ct.c_int64
 _lib.t1k_defer_begin.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
@@ -154,9 +155,16 @@ class NativeEngine:
         read_starts: np.ndarray,
         read_lens: np.ndarray,
         weights: np.ndarray,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Assign unique reads; returns (records [N,11] f64, offsets [R+1])."""
+        store_results: bool = True,
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """Assign unique reads; returns (records [N,11] f64, offsets [R+1]).
+
+        With store_results=False the per-read record staging (and its
+        ~90B/assignment copy) is skipped — the assignments stay inside
+        the engine for fragment_batch/pos_weight — and (None, None) is
+        returned."""
         n = len(read_lens)
+        _lib.t1k_engine_set_store_results(self._handle, int(store_results))
         total = _lib.t1k_assign_batch(
             self._handle,
             np.ascontiguousarray(read_codes, dtype=np.int8),
@@ -165,6 +173,9 @@ class NativeEngine:
             np.ascontiguousarray(weights, dtype=np.int32),
             n,
         )
+        self.last_assign_count = int(total)
+        if not store_results:
+            return None, None
         rec = np.ctypeslib.as_array(
             _lib.t1k_get_results(self._handle), shape=(int(total), N_ASSIGN_FIELDS)
         ).copy() if total else np.zeros((0, N_ASSIGN_FIELDS))
@@ -180,7 +191,8 @@ class NativeEngine:
         read_lens: np.ndarray,
         weights: np.ndarray,
         stats_fn,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        store_results: bool = True,
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         """assign_batch with the gap-fill / extension DP batched out to
         `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
         -> match counts [N] i32` (on TPU: the band-packed Pallas stats
@@ -210,12 +222,16 @@ class NativeEngine:
             return np.ascontiguousarray(stats_fn(tc, tl, pc, pl),
                                         dtype=np.int32)
 
+        _lib.t1k_engine_set_store_results(self._handle, int(store_results))
         _lib.t1k_defer_begin(self._handle, read_codes, read_starts,
                              read_lens, weights, n)
         gap_match = run_items()
         _lib.t1k_defer_counts(self._handle, gap_match)
         ext_match = run_items()
         total = _lib.t1k_defer_finish(self._handle, ext_match)
+        self.last_assign_count = int(total)
+        if not store_results:
+            return None, None
         rec = np.ctypeslib.as_array(
             _lib.t1k_get_results(self._handle), shape=(int(total), N_ASSIGN_FIELDS)
         ).copy() if total else np.zeros((0, N_ASSIGN_FIELDS))

@@ -17,6 +17,8 @@
 // Build: see Makefile (produces libt1k_native.so, loaded via ctypes).
 
 #include <array>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -395,6 +397,7 @@ struct DeferState;
 
 struct Engine {
   int nThreads = 1;
+  bool storeResults = true;  // stage per-read records for t1k_get_results
   DeferState* defer = nullptr;  // active deferred-DP batch (owned)
   // Packed reference.
   const int8_t* codes;
@@ -1032,6 +1035,34 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   }
 }
 
+// Optional per-phase wall-clock accounting for the assignment pipeline,
+// enabled with T1K_ENGINE_PROFILE=1 (printed by t1k_assign_batch).
+struct EngineProfile {
+  std::atomic<int64_t> hits{0}, chain{0}, score{0}, finish{0};
+  static bool Enabled() {
+    static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
+    return on;
+  }
+};
+static EngineProfile gProf;
+
+struct ScopedNs {
+  std::atomic<int64_t>* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit ScopedNs(std::atomic<int64_t>* a) : acc(nullptr) {
+    if (EngineProfile::Enabled()) {
+      acc = a;
+      t0 = std::chrono::steady_clock::now();
+    }
+  }
+  ~ScopedNs() {
+    if (acc)
+      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+  }
+};
+
 // Full read-end assignment (reference SeqSet.hpp:2119-2303).
 static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
                        std::vector<Overlap>* out, AlignScratch* scratch) {
@@ -1046,15 +1077,25 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   }
 
   static thread_local std::vector<Hit> hits;
-  CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
+  {
+    ScopedNs t(&gProf.hits);
+    CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
+  }
 
   std::vector<Overlap> overlaps;
   std::vector<std::vector<Seed>> seeds;
-  BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
-  ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds, scratch);
+  {
+    ScopedNs t(&gProf.chain);
+    BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
+  }
+  {
+    ScopedNs t(&gProf.score);
+    ScoreOverlaps(eng, read, rc.data(), len, &overlaps, &seeds, scratch);
+  }
   if (overlaps.empty()) return;
 
   std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
+  ScopedNs t(&gProf.finish);
   AssignExtendAndFinish(
       eng, read, rc.data(), len, weight, overlaps, out, scratch,
       [&](int, const Overlap& o, const ExtGeom& g, const int8_t* r, int* lm,
@@ -1321,6 +1362,10 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
               *rm = res[1];
             });
       }
+      if (!eng.storeResults) {
+        shardCounts[tid].push_back((int64_t)assign.size());
+        continue;
+      }
       for (const Overlap& o : assign) {
         double rec[11] = {(double)o.seq,        (double)o.readStart,
                           (double)o.readEnd,    (double)o.seqStart,
@@ -1355,7 +1400,8 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
   st.reads.shrink_to_fit();
   st.items.clear();
   st.phase = 0;
-  return (int64_t)(eng.results.size() / 11);
+  return eng.storeResults ? (int64_t)(eng.results.size() / 11)
+                        : eng.resultOffsets.back();
 }
 
 // Candidate screen used by the extractor: best (strand, seq) hit bucket,
@@ -1516,6 +1562,10 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
       std::vector<t1k::Overlap>& assign = eng.lastAssign[i];
       t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i],
                       weights[i], &assign, &scratch);
+      if (!eng.storeResults) {
+        shardCounts[tid].push_back((int64_t)assign.size());
+        continue;
+      }
       for (const t1k::Overlap& o : assign) {
         double rec[11] = {(double)o.seq,        (double)o.readStart,
                           (double)o.readEnd,    (double)o.seqStart,
@@ -1547,11 +1597,25 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
     for (int64_t c : shardCounts[t])
       eng.resultOffsets.push_back(eng.resultOffsets.back() + c);
   }
-  return (int64_t)(eng.results.size() / 11);
+  if (t1k::EngineProfile::Enabled()) {
+    fprintf(stderr,
+            "[engine] hits=%.2fs chain=%.2fs score=%.2fs finish=%.2fs\n",
+            t1k::gProf.hits.load() / 1e9, t1k::gProf.chain.load() / 1e9,
+            t1k::gProf.score.load() / 1e9, t1k::gProf.finish.load() / 1e9);
+  }
+  return eng.storeResults ? (int64_t)(eng.results.size() / 11)
+                        : eng.resultOffsets.back();
 }
 
 void t1k_engine_set_threads(void* ep, int32_t n) {
   static_cast<t1k::Engine*>(ep)->nThreads = n;
+}
+
+// Disable per-read record staging (t1k_get_results) when the caller only
+// consumes engine-side state (lastAssign + posWeight); the batch calls
+// then return the total assignment count from the offsets instead.
+void t1k_engine_set_store_results(void* ep, int32_t on) {
+  static_cast<t1k::Engine*>(ep)->storeResults = on != 0;
 }
 
 const double* t1k_get_results(void* ep) {
