@@ -1,0 +1,69 @@
+"""Candidate-read extraction CLI (reference fastq-extractor,
+FastqExtractor.cpp:220-628).
+
+  python -m t1k_tpu.cli.extract -f ref.fa -1 r1.fq -2 r2.fq -o prefix
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="t1k-extract",
+        description="Screen raw FASTQ for candidate reads")
+    ap.add_argument("-f", dest="ref", required=True)
+    ap.add_argument("-1", dest="first", nargs="+", default=[])
+    ap.add_argument("-2", dest="second", nargs="+", default=[])
+    ap.add_argument("-u", dest="single", nargs="+", default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    ap.add_argument("-o", dest="prefix", default="t1k")
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-s", dest="similarity", type=float, default=0.8)
+    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcodeRange", nargs=3, default=None,
+                    metavar=("START", "END", "STRAND"))
+    ap.add_argument("--barcodeWhitelist", default=None)
+    ap.add_argument("--read1Range", nargs=2, type=int, default=None)
+    ap.add_argument("--read2Range", nargs=2, type=int, default=None)
+    ap.add_argument("--backend", default="native",
+                    choices=["native", "tpu"])
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from ..core.extractor import ExtractorOptions, run_extractor
+
+    args = build_parser().parse_args(argv)
+    opts = ExtractorOptions(ref_seq_similarity=args.similarity,
+                            threads=args.threads, backend=args.backend)
+    if args.barcode:
+        opts.barcode_file = args.barcode[0]
+    if args.barcodeRange:
+        opts.barcode_start = int(args.barcodeRange[0])
+        opts.barcode_end = int(args.barcodeRange[1])
+        opts.barcode_revcomp = args.barcodeRange[2] == "-"
+    if args.barcodeWhitelist:
+        opts.barcode_whitelist = args.barcodeWhitelist
+    if args.read1Range:
+        opts.read1_start, opts.read1_end = args.read1Range
+    if args.read2Range:
+        opts.read2_start, opts.read2_end = args.read2Range
+
+    if args.interleaved:
+        stats = run_extractor(args.ref, args.interleaved, None, args.prefix,
+                              opts, interleaved=True)
+    elif args.single:
+        stats = run_extractor(args.ref, args.single, None, args.prefix, opts)
+    else:
+        stats = run_extractor(args.ref, args.first, args.second or None,
+                              args.prefix, opts)
+    print(f"extracted {stats['candidates']} candidates", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

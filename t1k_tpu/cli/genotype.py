@@ -1,0 +1,82 @@
+"""Genotyping CLI (reference genotyper, Genotyper.cpp:194-738).
+
+  python -m t1k_tpu.cli.genotype -f ref.fa -1 c_1.fq -2 c_2.fq -o prefix
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="t1k-genotype", description="Genotype candidate reads")
+    ap.add_argument("-f", dest="ref", required=True)
+    ap.add_argument("-1", dest="first", nargs="+", default=[])
+    ap.add_argument("-2", dest="second", nargs="+", default=[])
+    ap.add_argument("-u", dest="single", nargs="+", default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    ap.add_argument("-o", dest="prefix", default="t1k")
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-s", dest="similarity", type=float, default=0.8)
+    ap.add_argument("-n", dest="maxAssign", type=int, default=2000)
+    ap.add_argument("-a", dest="abundance", default=None)
+    ap.add_argument("--frac", type=float, default=0.15)
+    ap.add_argument("--cov", type=float, default=1.0)
+    ap.add_argument("--crossGeneRate", type=float, default=0.04)
+    ap.add_argument("--squaremMinAlpha", type=float, default=0.0)
+    ap.add_argument("--alleleDigitUnits", type=int, default=-1)
+    ap.add_argument("--alleleDelimiter", default="")
+    ap.add_argument("--alleleWhitelist", default=None)
+    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--relaxIntronAlign", action="store_true")
+    ap.add_argument("--outputReadAssignment", action="store_true")
+    ap.add_argument("--backend", default="native",
+                    choices=["native", "tpu"])
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from ..core.pipeline import GenotypeOptions, run_genotyper
+
+    args = build_parser().parse_args(argv)
+    opts = GenotypeOptions(
+        ref_seq_similarity=args.similarity,
+        relax_intron_align=args.relaxIntronAlign,
+        max_assign_cnt=args.maxAssign,
+        filter_frac=args.frac, filter_cov=args.cov,
+        cross_gene_rate=args.crossGeneRate,
+        min_squarem_alpha=args.squaremMinAlpha,
+        digit_units=args.alleleDigitUnits,
+        delimiter=args.alleleDelimiter,
+        allele_whitelist=args.alleleWhitelist,
+        abundance_file=args.abundance,
+        barcode_file=args.barcode[0] if args.barcode else None,
+        output_read_assignment=args.outputReadAssignment,
+        threads=args.threads, backend=args.backend,
+    )
+    if args.interleaved:
+        from ..io.reads import read_seq_files, write_fastq
+
+        # split interleaved input into the pipeline's two-pool form
+        import tempfile
+        r1 = list(read_seq_files(args.interleaved, interleaved_id=1))
+        r2 = list(read_seq_files(args.interleaved, interleaved_id=2))
+        f1 = tempfile.NamedTemporaryFile("w", suffix="_1.fq", delete=False)
+        f2 = tempfile.NamedTemporaryFile("w", suffix="_2.fq", delete=False)
+        f1.close()
+        f2.close()
+        write_fastq(f1.name, r1)
+        write_fastq(f2.name, r2)
+        run_genotyper(args.ref, [f1.name], [f2.name], args.prefix, opts)
+    elif args.single:
+        run_genotyper(args.ref, args.single, None, args.prefix, opts)
+    else:
+        run_genotyper(args.ref, args.first, args.second or None, args.prefix,
+                      opts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
