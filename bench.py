@@ -48,7 +48,7 @@ def bench_native_baseline(n=4000):
     return n / dt
 
 
-def bench_tpu(B=32768, n_reps=7):
+def bench_tpu(B=32768, n_reps=9):
     import jax
     import jax.numpy as jnp
 
@@ -62,29 +62,46 @@ def bench_tpu(B=32768, n_reps=7):
     nblocks = -(-B // P)
     Lt_pad = _round_up(max(Lt + ML + 1, Lp + W + 1) + 1, 8)
     Lp_pad = _round_up(Lp, 8)
-    tc, tl, pc, pl = make_batch(B)
-    args = (jnp.asarray(tl), jnp.asarray(pc), jnp.asarray(pl))
-
-    # distinct device-resident text batches per rep (so no layer of the
-    # stack can serve a cached result), timed to full host
-    # materialization (async dispatch otherwise returns early)
+    # Generate the batch ON DEVICE (same distribution as make_batch):
+    # this keeps the benchmark robust to relay-bandwidth dips on this
+    # rig — only the [B] score vector crosses the link per rep.
     @jax.jit
-    def derive(t, v):
-        return (t + v) % 4
+    def gen(seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        t = jax.random.randint(k1, (B, Lt), 0, 4, jnp.int8)
+        off = (Lt - Lp) // 2
+        p = t[:, off:off + Lp]
+        mut = jax.random.uniform(k2, (B, Lp)) < 0.02
+        p = jnp.where(mut, jax.random.randint(k3, (B, Lp), 0, 4, jnp.int8),
+                      p)
+        return t, p
 
-    base = jnp.asarray(tc)
-    variants = [jnp.asarray(np.asarray(derive(base, v)))
-                for v in range(n_reps + 1)]
+    tl = jnp.full(B, Lt, jnp.int32)
+    pl = jnp.full(B, Lp, jnp.int32)
+    base_t, base_p = gen(1)
+    jax.block_until_ready((base_t, base_p))
+
+    @jax.jit
+    def derive(t, p, v):
+        return (t + v) % 4, (p + v) % 4  # distinct content, same structure
+
+    variants = [derive(base_t, base_p, v) for v in range(n_reps + 1)]
+    jax.block_until_ready(variants)
 
     def run(v):
+        t, p = variants[v]
         return np.asarray(_band_grid(
-            variants[v], *args, G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks))
+            t, tl, p, pl, G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks))
 
     run(0)  # compile + warm
-    t0 = time.perf_counter()
+    times = []
     for v in range(1, n_reps + 1):
+        t0 = time.perf_counter()
         run(v)
-    dt = (time.perf_counter() - t0) / n_reps
+        times.append(time.perf_counter() - t0)
+    # median rep: robust to transient relay-bandwidth dips on this rig
+    times.sort()
+    dt = times[len(times) // 2]
     return B / dt
 
 
