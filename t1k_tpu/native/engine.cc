@@ -836,17 +836,46 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
   overlapSeeds->resize(w);
 }
 
+// Per-read memo for small stat DPs: across a read's candidate alleles
+// the same (pattern window, text content) recurs constantly — similar
+// alleles present identical windows.  All overlaps share one strand
+// after the core's filter, so (pOff, pLen, text bytes) keys a unique
+// alignment.
+struct StatsMemo {
+  std::unordered_map<std::string, int> map;
+  std::string key;
+
+  int Get(const int8_t* t, int tLen, const int8_t* p, int pOff, int pLen,
+          AlignScratch* scratch) {
+    key.resize(8 + tLen);
+    int32_t po = pOff, pl = pLen;
+    std::memcpy(&key[0], &po, 4);
+    std::memcpy(&key[4], &pl, 4);
+    std::memcpy(&key[8], t, tLen);
+    auto ins = map.try_emplace(key, -1);
+    if (ins.second)
+      ins.first->second =
+          BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+    return ins.first->second;
+  }
+};
+
 static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
                           int len, std::vector<Overlap>* overlaps,
                           std::vector<std::vector<Seed>>* overlapSeeds,
                           AlignScratch* scratch) {
+  static thread_local StatsMemo memo;
+  memo.map.clear();
   ScoreOverlapsCore(
       eng, read, rcRead, len, overlaps, overlapSeeds,
       [&](int, int seq, int tOff, int tLen, const int8_t* r, int pOff,
           int pLen) {
-        return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen, r + pOff,
-                                      pLen, 5, scratch)
-            .match;
+        if (tLen <= 0 || pLen <= 0)
+          return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen, r + pOff,
+                                        pLen, 5, scratch)
+              .match;
+        return memo.Get(eng.Seq(seq) + tOff, tLen, r + pOff, pOff, pLen,
+                        scratch);
       });
   FinalizeOverlapSimilarity(eng, read, rcRead, overlaps, overlapSeeds);
 }
@@ -1096,19 +1125,23 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
 
   std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
   ScopedNs t(&gProf.finish);
+  static thread_local StatsMemo extMemo;
+  extMemo.map.clear();
   AssignExtendAndFinish(
       eng, read, rc.data(), len, weight, overlaps, out, scratch,
       [&](int, const Overlap& o, const ExtGeom& g, const int8_t* r, int* lm,
           int* rm) {
         const int8_t* seq = eng.Seq(o.seq);
-        *lm = BandedGlobalAlignStats(seq + o.seqStart - g.leftOver, g.leftOver,
-                                     r + o.readStart - g.leftOver, g.leftOver,
-                                     5, scratch)
-                  .match;
-        *rm = BandedGlobalAlignStats(seq + o.seqEnd + 1, g.rightOver,
-                                     r + o.readEnd + 1, g.rightOver, 5,
-                                     scratch)
-                  .match;
+        *lm = g.leftOver <= 0
+                  ? 0
+                  : extMemo.Get(seq + o.seqStart - g.leftOver, g.leftOver,
+                                r + o.readStart - g.leftOver,
+                                o.readStart - g.leftOver, g.leftOver, scratch);
+        *rm = g.rightOver <= 0
+                  ? 0
+                  : extMemo.Get(seq + o.seqEnd + 1, g.rightOver,
+                                r + o.readEnd + 1, o.readEnd + 1, g.rightOver,
+                                scratch);
       });
 }
 
