@@ -1182,8 +1182,13 @@ struct DeferRead {
   std::vector<int8_t> rc;
   std::vector<Overlap> overlaps;
   std::vector<std::vector<Seed>> seeds;
-  std::vector<int32_t> gapOv;             // per local gap item: overlap idx
+  // Per local item, every (overlap) consumption of it — identical
+  // windows across candidate alleles are emitted once and fanned back
+  // out on apply (duplicates kept: an overlap can consume a window
+  // twice along its seed walk).
+  std::vector<std::vector<int32_t>> gapConsumers;
   std::vector<DeferItem> localItems;      // phase-local emission buffer
+  std::unordered_map<std::string, int32_t> keyToLocal;
   // Per sorted-overlap extension slots: global item idx, -1 = zero-length
   // window (match 0), -2 = inline fallback at finish.
   std::vector<std::array<int64_t, 2>> extSlots;
@@ -1242,17 +1247,28 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
               return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
                                             r + pOff, pLen, 5, &scratch)
                   .match;
-            DeferItem it;
-            it.readIdx = (int32_t)i;
-            it.tOff = eng.SeqStart(seq) + tOff;
-            it.tLen = tLen;
-            it.pOff = pOff;
-            it.pLen = pLen;
-            it.useRc = r == dr.rc.data();
-            dr.localItems.push_back(it);
-            dr.gapOv.push_back(ov);
+            std::string key(8 + tLen, '\0');
+            int32_t po = pOff, pl = pLen;
+            std::memcpy(&key[0], &po, 4);
+            std::memcpy(&key[4], &pl, 4);
+            std::memcpy(&key[8], eng.Seq(seq) + tOff, tLen);
+            auto ins = dr.keyToLocal.try_emplace(std::move(key),
+                                                 (int32_t)dr.localItems.size());
+            if (ins.second) {
+              DeferItem it;
+              it.readIdx = (int32_t)i;
+              it.tOff = eng.SeqStart(seq) + tOff;
+              it.tLen = tLen;
+              it.pOff = pOff;
+              it.pLen = pLen;
+              it.useRc = r == dr.rc.data();
+              dr.localItems.push_back(it);
+              dr.gapConsumers.emplace_back();
+            }
+            dr.gapConsumers[ins.first->second].push_back(ov);
             return 0;
           });
+      dr.keyToLocal.clear();
     }
   };
   if (nt == 1) {
@@ -1286,9 +1302,10 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
     for (int64_t i = lo; i < hi; ++i) {
       DeferRead& dr = st.reads[i];
-      for (size_t g = 0; g < dr.gapOv.size(); ++g)
-        dr.overlaps[dr.gapOv[g]].matchCnt += 2 * match[dr.itemBegin + g];
-      dr.gapOv.clear();
+      for (size_t g = 0; g < dr.gapConsumers.size(); ++g)
+        for (int32_t ov : dr.gapConsumers[g])
+          dr.overlaps[ov].matchCnt += 2 * match[dr.itemBegin + g];
+      dr.gapConsumers.clear();
       FinalizeOverlapSimilarity(eng, dr.read, dr.rc.data(), &dr.overlaps,
                                 &dr.seeds);
       dr.seeds.clear();
@@ -1315,10 +1332,18 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
           it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
           it.pLen = sides[s];
           it.useRc = o.strand != 1;
-          dr.extSlots[oi][s] = (int64_t)dr.localItems.size();
-          dr.localItems.push_back(it);
+          std::string key(8 + it.tLen, '\0');
+          std::memcpy(&key[0], &it.pOff, 4);
+          std::memcpy(&key[4], &it.pLen, 4);
+          std::memcpy(&key[8], eng.codes + it.tOff, it.tLen);
+          auto ins = dr.keyToLocal.try_emplace(
+              std::move(key), (int32_t)dr.localItems.size());
+          if (ins.second) dr.localItems.push_back(it);
+          dr.extSlots[oi][s] = ins.first->second;
         }
       }
+      dr.keyToLocal.clear();
+      dr.keyToLocal.rehash(0);
     }
   };
   if (nt == 1) {
