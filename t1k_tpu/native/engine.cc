@@ -840,23 +840,59 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
 // the same (pattern window, text content) recurs constantly — similar
 // alleles present identical windows.  All overlaps share one strand
 // after the core's filter, so (pOff, pLen, text bytes) keys a unique
-// alignment.
+// alignment.  Open-addressing with pointer keys: the text lives in the
+// immutable packed reference, so entries store a pointer + length and
+// collisions resolve by memcmp — no per-lookup string allocation.
 struct StatsMemo {
-  std::unordered_map<std::string, int> map;
-  std::string key;
+  struct Entry {
+    uint32_t gen = 0;
+    uint64_t h;
+    const int8_t* t;
+    int32_t tLen, pOff, pLen;
+    int32_t match;
+  };
+  std::vector<Entry> slots = std::vector<Entry>(1 << 12);
+  uint32_t gen = 0;
+
+  static uint64_t Hash(const int8_t* t, int tLen, int pOff, int pLen) {
+    uint64_t h = 1469598103934665603ull;
+    h = (h ^ (uint64_t)pOff) * 1099511628211ull;
+    h = (h ^ (uint64_t)pLen) * 1099511628211ull;
+    for (int i = 0; i < tLen; ++i)
+      h = (h ^ (uint8_t)t[i]) * 1099511628211ull;
+    return h;
+  }
+
+  void Clear() { ++gen; }
 
   int Get(const int8_t* t, int tLen, const int8_t* p, int pOff, int pLen,
           AlignScratch* scratch) {
-    key.resize(8 + tLen);
-    int32_t po = pOff, pl = pLen;
-    std::memcpy(&key[0], &po, 4);
-    std::memcpy(&key[4], &pl, 4);
-    std::memcpy(&key[8], t, tLen);
-    auto ins = map.try_emplace(key, -1);
-    if (ins.second)
-      ins.first->second =
-          BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
-    return ins.first->second;
+    uint64_t h = Hash(t, tLen, pOff, pLen);
+    size_t mask = slots.size() - 1;
+    size_t i = h & mask;
+    size_t probes = 0;
+    for (;;) {
+      Entry& e = slots[i];
+      if (e.gen != gen) {
+        e.gen = gen;
+        e.h = h;
+        e.t = t;
+        e.tLen = tLen;
+        e.pOff = pOff;
+        e.pLen = pLen;
+        e.match =
+            BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+        return e.match;
+      }
+      if (e.h == h && e.tLen == tLen && e.pOff == pOff && e.pLen == pLen &&
+          (e.t == t || std::memcmp(e.t, t, tLen) == 0))
+        return e.match;
+      i = (i + 1) & mask;
+      if (++probes > slots.size() / 2) {
+        // table saturated for this read: fall through uncached
+        return BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+      }
+    }
   }
 };
 
@@ -865,7 +901,7 @@ static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
                           std::vector<std::vector<Seed>>* overlapSeeds,
                           AlignScratch* scratch) {
   static thread_local StatsMemo memo;
-  memo.map.clear();
+  memo.Clear();
   ScoreOverlapsCore(
       eng, read, rcRead, len, overlaps, overlapSeeds,
       [&](int, int seq, int tOff, int tLen, const int8_t* r, int pOff,
@@ -947,6 +983,35 @@ static bool ExtendCombine(Engine& eng, const Overlap& o, const ExtGeom& g,
 }
 
 
+// Optional per-phase wall-clock accounting for the assignment pipeline,
+// enabled with T1K_ENGINE_PROFILE=1 (printed by t1k_assign_batch).
+struct EngineProfile {
+  std::atomic<int64_t> hits{0}, chain{0}, score{0}, finish{0};
+  std::atomic<int64_t> extLoop{0}, fullSpan{0};
+  static bool Enabled() {
+    static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
+    return on;
+  }
+};
+static EngineProfile gProf;
+
+struct ScopedNs {
+  std::atomic<int64_t>* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit ScopedNs(std::atomic<int64_t>* a) : acc(nullptr) {
+    if (EngineProfile::Enabled()) {
+      acc = a;
+      t0 = std::chrono::steady_clock::now();
+    }
+  }
+  ~ScopedNs() {
+    if (acc)
+      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+  }
+};
+
 // Extension loop + near-best full-span pass + truncation — the tail of
 // the read assignment shared by the inline and deferred-DP paths.  The
 // overhang DP is abstracted behind extStats(sortedOverlapIdx, overlap,
@@ -965,6 +1030,7 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   std::vector<Overlap>& ext = *out;
   bool onlyConsiderClip = false;
   int goodMatchCnt = -1;
+  ScopedNs extTimer(&gProf.extLoop);
   for (int oi = 0; oi < (int)overlaps.size(); ++oi) {
     const Overlap& o = overlaps[oi];
     if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
@@ -987,6 +1053,7 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   }
 
   if (!ext.empty() && weight >= 0) {
+    ScopedNs fsTimer(&gProf.fullSpan);
     // Full-span alignment for near-best candidates: exon-relaxed match
     // recount and per-base coverage scatter (SeqSet.hpp:2188-2285).
     int bestIdx = 0;
@@ -1064,34 +1131,6 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   }
 }
 
-// Optional per-phase wall-clock accounting for the assignment pipeline,
-// enabled with T1K_ENGINE_PROFILE=1 (printed by t1k_assign_batch).
-struct EngineProfile {
-  std::atomic<int64_t> hits{0}, chain{0}, score{0}, finish{0};
-  static bool Enabled() {
-    static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
-    return on;
-  }
-};
-static EngineProfile gProf;
-
-struct ScopedNs {
-  std::atomic<int64_t>* acc;
-  std::chrono::steady_clock::time_point t0;
-  explicit ScopedNs(std::atomic<int64_t>* a) : acc(nullptr) {
-    if (EngineProfile::Enabled()) {
-      acc = a;
-      t0 = std::chrono::steady_clock::now();
-    }
-  }
-  ~ScopedNs() {
-    if (acc)
-      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
-                  std::chrono::steady_clock::now() - t0)
-                  .count();
-  }
-};
-
 // Full read-end assignment (reference SeqSet.hpp:2119-2303).
 static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
                        std::vector<Overlap>* out, AlignScratch* scratch) {
@@ -1126,7 +1165,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
   ScopedNs t(&gProf.finish);
   static thread_local StatsMemo extMemo;
-  extMemo.map.clear();
+  extMemo.Clear();
   AssignExtendAndFinish(
       eng, read, rc.data(), len, weight, overlaps, out, scratch,
       [&](int, const Overlap& o, const ExtGeom& g, const int8_t* r, int* lm,
@@ -1657,9 +1696,12 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
   }
   if (t1k::EngineProfile::Enabled()) {
     fprintf(stderr,
-            "[engine] hits=%.2fs chain=%.2fs score=%.2fs finish=%.2fs\n",
+            "[engine] hits=%.2fs chain=%.2fs score=%.2fs finish=%.2fs "
+            "(ext=%.2fs fullspan=%.2fs)\n",
             t1k::gProf.hits.load() / 1e9, t1k::gProf.chain.load() / 1e9,
-            t1k::gProf.score.load() / 1e9, t1k::gProf.finish.load() / 1e9);
+            t1k::gProf.score.load() / 1e9, t1k::gProf.finish.load() / 1e9,
+            t1k::gProf.extLoop.load() / 1e9,
+            t1k::gProf.fullSpan.load() / 1e9);
   }
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
                         : eng.resultOffsets.back();
