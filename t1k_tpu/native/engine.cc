@@ -1066,10 +1066,21 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
     // read keyed by (span, window bytes) and replay the per-allele
     // scatter/recount from the cached walk.  (The reference recomputes
     // the DP per candidate; results are identical.)
-    static thread_local std::unordered_map<std::string, std::vector<int8_t>>
-        walkCache;
-    walkCache.clear();
-    std::string key;
+    // Walk cache: same pointer-key open-addressing scheme as StatsMemo,
+    // storing an index into a per-read walk arena.
+    struct WalkSlot {
+      uint32_t gen = 0;
+      uint64_t h;
+      const int8_t* t;
+      int32_t tLen, rs, re;
+      int32_t walkIdx;
+    };
+    static thread_local std::vector<WalkSlot> walkSlots(1 << 12);
+    static thread_local std::vector<std::vector<int8_t>> walkArena;
+    static thread_local uint32_t walkGen = 0;
+    ++walkGen;
+    size_t walkUsed = 0;
+
     for (Overlap& e : ext) {
       if (e.matchCnt < bestMatch - 10) {
         e.relaxedMatchCnt = 0;
@@ -1083,15 +1094,43 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
       }
       const int8_t* seq = eng.Seq(e.seq);
       const int spanT = e.seqEnd - e.seqStart + 1;
-      key.resize(8 + spanT);
-      std::memcpy(&key[0], &e.readStart, 4);
-      std::memcpy(&key[4], &e.readEnd, 4);
-      std::memcpy(&key[8], seq + e.seqStart, spanT);
-      auto ins = walkCache.try_emplace(key);
-      std::vector<int8_t>& edits = ins.first->second;
-      if (ins.second)
-        BandedGlobalAlign(seq + e.seqStart, spanT, r + e.readStart,
-                          e.readEnd - e.readStart + 1, 5, &edits, scratch);
+      const int8_t* t = seq + e.seqStart;
+      uint64_t h = StatsMemo::Hash(t, spanT, e.readStart, e.readEnd);
+      size_t mask = walkSlots.size() - 1;
+      size_t si = h & mask;
+      int32_t widx = -1;
+      for (size_t probes = 0; probes <= walkSlots.size() / 2; ++probes) {
+        WalkSlot& sl = walkSlots[si];
+        if (sl.gen != walkGen) {
+          sl.gen = walkGen;
+          sl.h = h;
+          sl.t = t;
+          sl.tLen = spanT;
+          sl.rs = e.readStart;
+          sl.re = e.readEnd;
+          if (walkUsed == walkArena.size()) walkArena.emplace_back();
+          sl.walkIdx = (int32_t)walkUsed++;
+          BandedGlobalAlign(t, spanT, r + e.readStart,
+                            e.readEnd - e.readStart + 1, 5,
+                            &walkArena[sl.walkIdx], scratch);
+          widx = sl.walkIdx;
+          break;
+        }
+        if (sl.h == h && sl.tLen == spanT && sl.rs == e.readStart &&
+            sl.re == e.readEnd &&
+            (sl.t == t || std::memcmp(sl.t, t, spanT) == 0)) {
+          widx = sl.walkIdx;
+          break;
+        }
+        si = (si + 1) & mask;
+      }
+      static thread_local std::vector<int8_t> overflow;
+      if (widx < 0) {  // table saturated: compute uncached
+        BandedGlobalAlign(t, spanT, r + e.readStart,
+                          e.readEnd - e.readStart + 1, 5, &overflow, scratch);
+      }
+      const std::vector<int8_t>& edits =
+          widx >= 0 ? walkArena[widx] : overflow;
       const uint8_t* exon = eng.exonMask + eng.SeqStart(e.seq);
       const int seqLenClamp = eng.SeqLen(e.seq) - 1;
       if (eng.relaxIntron) {
