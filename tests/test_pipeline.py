@@ -70,3 +70,27 @@ def test_pipeline_matches_reference(name, tmp_path):
     with open(aligned, "rb") as f:
         got = hashlib.sha256(f.read()).hexdigest()
     assert got == digests["_aligned.fa"], f"{name} aligned fasta differs"
+
+
+@pytest.mark.parametrize("workers", [2, 3])
+def test_distributed_matches_single_host(workers, tmp_path):
+    """Host-sharded execution (parallel/distributed.py) must be
+    byte-identical to the single-host pipeline: contiguous fragment
+    shards restore global coalesce order, coverage tensors sum."""
+    from t1k_tpu.parallel.distributed import run_genotyper_distributed
+
+    ref = CASES["rna"]["ref"]
+    if not os.path.exists(ref):
+        pytest.skip("reference database not available")
+    p1 = os.path.join(DATA_DIR, "rna_1.fq")
+    p2 = os.path.join(DATA_DIR, "rna_2.fq")
+
+    prefix = str(tmp_path / f"dist{workers}")
+    run_genotyper_distributed(ref, [p1], [p2], prefix,
+                              GenotypeOptions(), n_workers=workers)
+    for suffix in ("_genotype.tsv", "_allele.tsv"):
+        with open(prefix + suffix) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "rna" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"distributed {suffix} differs"
