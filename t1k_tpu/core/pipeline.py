@@ -25,7 +25,7 @@ from ..constants import (
 )
 from ..io.reads import read_seq_files
 from ..io.refset import RefSet
-from .fragment import OverlapRec, RefContext, fragment_assign, set_read_assignments
+from .fragment import OverlapRec
 from .genotyper import Genotyper, GenotyperConfig
 
 

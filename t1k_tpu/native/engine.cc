@@ -274,15 +274,6 @@ static EditStats BandedGlobalAlignStats(const int8_t* t, int lent,
   return st;
 }
 
-static EditStats CountEdits(const std::vector<int8_t>& edits) {
-  EditStats s;
-  for (int8_t op : edits) {
-    if (op == kEditMatch) ++s.match;
-    else if (op == kEditMismatch) ++s.mismatch;
-    else ++s.indel;
-  }
-  return s;
-}
 
 // -------------------------------------------------------------- k-mer index
 struct Posting {
@@ -503,33 +494,6 @@ static void CollectHitsSorted(const Engine& eng, const int8_t* read, int len,
   }
 }
 
-static bool HitOrderLess(const Hit& a, const Hit& b) {
-  if (a.strand != b.strand) return a.strand < b.strand;
-  if (a.seq != b.seq) return a.seq < b.seq;
-  if (a.roff != b.roff) return a.roff < b.roff;
-  return a.soff < b.soff;
-}
-
-// Stable counting sort by (strand, seq).  Hits are generated in
-// (roff, posting) order per strand, so a stable scatter reproduces the
-// full comparator order in O(n + buckets) (the reference's bucket sort,
-// SeqSet.hpp:1558-1590).
-static void BucketSortHits(int nSeqs, std::vector<Hit>* hits) {
-  static thread_local std::vector<int> counts;
-  counts.assign(2 * nSeqs + 1, 0);
-  for (const Hit& h : *hits) {
-    int key = (h.strand == 1 ? nSeqs : 0) + h.seq;
-    ++counts[key + 1];
-  }
-  for (int i = 1; i <= 2 * nSeqs; ++i) counts[i] += counts[i - 1];
-  static thread_local std::vector<Hit> out;
-  out.resize(hits->size());
-  for (const Hit& h : *hits) {
-    int key = (h.strand == 1 ? nSeqs : 0) + h.seq;
-    out[counts[key]++] = h;
-  }
-  hits->swap(out);
-}
 
 // O(n log n) longest (strictly) increasing subsequence in `a` over seeds
 // sorted by (b, a); same tie handling as the reference

@@ -56,7 +56,7 @@ def run_genotyper_distributed(
     """Sharded equivalent of core.pipeline.run_genotyper (subset: the
     standard paired/single genotyping flow; barcode and whitelist paths
     go through the single-host driver)."""
-    from ..constants import GENOTYPER_KMER_LENGTH, encode_seq
+    from ..constants import GENOTYPER_KMER_LENGTH
     from ..core.genotyper import Genotyper, GenotyperConfig
     from ..core.pipeline import GenotypeOptions, assign_unique_reads, log
     from ..io.reads import read_seq_files
