@@ -51,6 +51,7 @@ class GenotypeOptions:
     output_read_assignment: bool = False
     threads: int = 1
     backend: str = "native"  # alignment backend: "native" or "tpu"
+    defer_chunk: int = 0     # tpu backend: reads per deferred-DP cycle
     em_backend: str = "native"
 
 
@@ -72,7 +73,7 @@ class GenotypeResult:
 def assign_unique_reads(
     engine, seqs: List[str], zero_weights: bool = False,
     dp_backend: str = "native", dp_interpret: bool = False,
-    store_results: bool = True,
+    store_results: bool = True, defer_chunk: int = 0,
 ) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Group identical read sequences; run the engine once per unique
     sequence with the group size as the coverage weight
@@ -113,7 +114,8 @@ def assign_unique_reads(
         rec, off = engine.assign_batch_deferred(
             codes, starts, lens, w,
             make_deferred_stats_fn(interpret=dp_interpret),
-            store_results=store_results)
+            store_results=store_results,
+            chunk_size=defer_chunk if not store_results else 0)
     else:
         rec, off = engine.assign_batch(codes, starts, lens, w,
                                        store_results=store_results)
@@ -199,7 +201,8 @@ def run_genotyper(
     all_seqs = seqs1 + seqs2
     with stage("read_assignment") as ctx:
         uniq, group_of, rec, off = assign_unique_reads(
-            engine, all_seqs, dp_backend=opts.backend, store_results=False)
+            engine, all_seqs, dp_backend=opts.backend, store_results=False,
+            defer_chunk=opts.defer_chunk)
         ctx["read_count"] = len(all_seqs)
         ctx["unique_read_count"] = len(uniq)
         ctx["alignment_count"] = engine.last_assign_count

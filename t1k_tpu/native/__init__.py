@@ -67,6 +67,9 @@ _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
 ]
 _lib.t1k_engine_set_store_results.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_defer_reserve.argtypes = [ct.c_void_p, ct.c_int64]
+_lib.t1k_defer_set_base.argtypes = [ct.c_void_p, ct.c_int64]
+_lib.t1k_defer_end_chunked.argtypes = [ct.c_void_p]
 _lib.t1k_defer_begin.restype = ct.c_int64
 _lib.t1k_defer_begin.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
@@ -192,11 +195,16 @@ class NativeEngine:
         weights: np.ndarray,
         stats_fn,
         store_results: bool = True,
+        chunk_size: int = 0,
     ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         """assign_batch with the gap-fill / extension DP batched out to
         `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
         -> match counts [N] i32` (on TPU: the band-packed Pallas stats
         kernel).  Output is byte-identical to assign_batch.
+
+        chunk_size > 0 processes reads in bounded chunks (each with its
+        own device batches) while accumulating assignments engine-side;
+        requires store_results=False.
         """
         read_codes = np.ascontiguousarray(read_codes, dtype=np.int8)
         read_starts = np.ascontiguousarray(read_starts, dtype=np.int64)
@@ -223,6 +231,23 @@ class NativeEngine:
                                         dtype=np.int32)
 
         _lib.t1k_engine_set_store_results(self._handle, int(store_results))
+        if chunk_size and chunk_size < n:
+            assert not store_results, "chunked deferral is engine-side only"
+            _lib.t1k_defer_reserve(self._handle, n)
+            total = 0
+            for lo in range(0, n, chunk_size):
+                hi = min(lo + chunk_size, n)
+                _lib.t1k_defer_set_base(self._handle, lo)
+                _lib.t1k_defer_begin(self._handle, read_codes,
+                                     read_starts[lo:hi], read_lens[lo:hi],
+                                     weights[lo:hi], hi - lo)
+                gap_match = run_items()
+                _lib.t1k_defer_counts(self._handle, gap_match)
+                ext_match = run_items()
+                total += int(_lib.t1k_defer_finish(self._handle, ext_match))
+            _lib.t1k_defer_end_chunked(self._handle)
+            self.last_assign_count = total
+            return None, None
         _lib.t1k_defer_begin(self._handle, read_codes, read_starts,
                              read_lens, weights, n)
         gap_match = run_items()

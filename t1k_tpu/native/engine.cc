@@ -390,6 +390,9 @@ struct Engine {
   int nThreads = 1;
   bool storeResults = true;  // stage per-read records for t1k_get_results
   DeferState* defer = nullptr;  // active deferred-DP batch (owned)
+  // Chunked deferral: lastAssign pre-reserved for the full unique-read
+  // set; each begin/counts/finish cycle fills [deferBase, base+n).
+  int64_t deferBase = -1;
   // Packed reference.
   const int8_t* codes;
   std::vector<int64_t> starts;
@@ -1422,7 +1425,12 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
   int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
   if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
 
-  eng.lastAssign.assign(nReads, {});
+  int64_t base = 0;
+  if (eng.deferBase >= 0) {
+    base = eng.deferBase;  // chunked: lastAssign reserved up front
+  } else {
+    eng.lastAssign.assign(nReads, {});
+  }
   std::vector<std::vector<double>> shardResults(nt);
   std::vector<std::vector<int64_t>> shardCounts(nt);
 
@@ -1432,7 +1440,7 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
     for (int64_t i = lo; i < hi; ++i) {
       DeferRead& dr = st.reads[i];
-      std::vector<Overlap>& assign = eng.lastAssign[i];
+      std::vector<Overlap>& assign = eng.lastAssign[base + i];
       if (!dr.overlaps.empty()) {
         AssignExtendAndFinish(
             eng, dr.read, dr.rc.data(), dr.len, dr.weight, dr.overlaps,
@@ -1583,6 +1591,22 @@ void t1k_engine_destroy(void* e) {
 }
 
 // ---- deferred-DP batch ABI (see "deferred DP mode" above) ----
+
+// Chunked deferral: reserve the full unique-read assignment table, then
+// run begin/counts/finish cycles per chunk with t1k_defer_set_base.
+void t1k_defer_reserve(void* e, int64_t n_reads) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  eng.lastAssign.assign(n_reads, {});
+  eng.deferBase = 0;
+}
+
+void t1k_defer_set_base(void* e, int64_t base) {
+  static_cast<t1k::Engine*>(e)->deferBase = base;
+}
+
+void t1k_defer_end_chunked(void* e) {
+  static_cast<t1k::Engine*>(e)->deferBase = -1;
+}
 
 // Phase A; returns the number of gap-fill DP items to score externally.
 // The read arrays must stay valid until t1k_defer_finish returns.

@@ -97,3 +97,35 @@ def test_deferred_matches_inline_pallas_interpret():
 
     assert np.array_equal(rec1, rec2)
     assert np.array_equal(off1, off2)
+
+
+def test_chunked_deferral_matches_unchunked():
+    """Bounded-chunk deferral must leave identical engine-side state
+    (fragment records + coverage) as one-shot deferral."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    rs, flat, starts, lens, weights = _setup(n_alleles=24, n_reads=50)
+    packed = rs.packed()
+    k = rs.infer_kmer_length()
+    n = len(lens)
+    uid1 = np.arange(n // 2, dtype=np.int64)
+    uid2 = np.arange(n // 2, n, dtype=np.int64)
+    has_n = np.zeros(n // 2, np.uint8)
+
+    eng1 = NativeEngine(packed, k)
+    eng1.assign_batch_deferred(flat, starts, lens, weights, _oracle_stats,
+                               store_results=False)
+    rec1, cnt1, fl1 = eng1.fragment_batch(uid1, uid2, has_n, True, 2000, None)
+    pw1 = eng1.pos_weight()
+
+    eng2 = NativeEngine(packed, k)
+    eng2.assign_batch_deferred(flat, starts, lens, weights, _oracle_stats,
+                               store_results=False, chunk_size=17)
+    rec2, cnt2, fl2 = eng2.fragment_batch(uid1, uid2, has_n, True, 2000, None)
+    pw2 = eng2.pos_weight()
+
+    assert np.array_equal(rec1, rec2)
+    assert np.array_equal(cnt1, cnt2)
+    assert np.array_equal(fl1, fl2)
+    assert np.array_equal(pw1, pw2)
+    assert rec1.shape[0] > 0
