@@ -209,6 +209,52 @@ def golden_analyzer():
     print("variant: done")
 
 
+def make_dna_variant_input():
+    """Exonic + intronic SNPs on the genomic (dna) reference: the caller
+    must report only the exonic ones (intra-exon constraint)."""
+    ref = os.path.join(CYP_IDX, "cyp2d6_dna_seq.fa")
+    by_name = {r.id: r for r in read_seq_file(ref)}
+    a1, a2 = by_name["CYP2D6*1"], by_name["CYP2D6*2"]
+    c = [int(x) for x in a1.comment.split()]
+    exons = list(zip(c[1::2], c[2::2]))
+
+    def mut(rec, positions):
+        s = list(rec.seq)
+        for p in positions:
+            if s[p] != "N":
+                s[p] = "A" if s[p] != "A" else "G"
+        return SeqRecord(rec.id, "".join(s), None, rec.comment)
+
+    pos = [exons[1][0] + 40, exons[3][0] + 25, exons[1][1] + 50]
+    a1m = mut(a1, pos)
+    r1, r2 = simulate_pairs([a1m, a2], [1.0, 0.85],
+                            SimConfig(n_pairs=800, seed=99))
+    p1 = os.path.join(DATA, "vardna_1.fq")
+    p2 = os.path.join(DATA, "vardna_2.fq")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    return ref, p1, p2
+
+
+def golden_dna_variant():
+    ref, p1, p2 = make_dna_variant_input()
+    prefix = "/tmp/golden_vardna"
+    args = ["-s", "0.9", "--relaxIntronAlign"]
+    subprocess.run([os.path.join(REF_BIN, "genotyper"), "-f", ref, "-1", p1,
+                    "-2", p2, "-o", prefix] + args,
+                   check=True, capture_output=True)
+    subprocess.run([os.path.join(REF_BIN, "analyzer"), "-f", ref,
+                    "-a", prefix + "_allele.tsv",
+                    "-1", prefix + "_aligned_1.fa",
+                    "-2", prefix + "_aligned_2.fa", "-o", prefix] + args,
+                   check=True, capture_output=True)
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(prefix + suffix) as fin, open(
+                os.path.join(GOLDEN, "vardna" + suffix), "w") as fout:
+            fout.write(fin.read())
+    print("vardna: done")
+
+
 def make_barcode_input():
     """Whitelist + noisy per-read barcodes for the correction golden."""
     import numpy as np
@@ -256,6 +302,7 @@ def main():
     golden_extractor()
     golden_barcode()
     golden_analyzer()
+    golden_dna_variant()
     mg = build_multigene_reference()
     for name, case in CASES.items():
         ref = mg if case["ref"] == "MULTIGENE" else case["ref"]

@@ -39,3 +39,33 @@ def test_analyzer_matches_reference(tmp_path):
         with open(os.path.join(GOLDEN_DIR, "variant" + suffix)) as f:
             want = f.read()
         assert got == want, f"variant{suffix} differs"
+
+
+def test_dna_variant_chain_matches_reference(tmp_path):
+    """Genomic-mode novel-SNP calling (relaxIntronAlign + intra-exon
+    constraint): genotype, VCF and allele outputs byte-identical."""
+    ref = os.path.join(
+        os.environ.get("T1K_CYP2D6_IDX",
+                       "/root/reference/vcf_database/cyp2d6_idx"),
+        "cyp2d6_dna_seq.fa")
+    if not os.path.exists(ref):
+        pytest.skip("cyp2d6 database unavailable")
+    p1 = os.path.join(DATA_DIR, "vardna_1.fq")
+    if not os.path.exists(p1):
+        pytest.skip("run tests/make_goldens.py first")
+    p2 = os.path.join(DATA_DIR, "vardna_2.fq")
+
+    prefix = str(tmp_path / "vardna")
+    run_genotyper(ref, [p1], [p2], prefix,
+                  GenotypeOptions(ref_seq_similarity=0.9,
+                                  relax_intron_align=True))
+    run_analyzer(ref, prefix + "_allele.tsv", [prefix + "_aligned_1.fa"],
+                 [prefix + "_aligned_2.fa"], prefix,
+                 AnalyzerOptions(ref_seq_similarity=0.9,
+                                 relax_intron_align=True))
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(prefix + suffix) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "vardna" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"vardna{suffix} differs"
