@@ -31,18 +31,13 @@ from .barcode import BarcodeCorrector, format_barcode
 def is_low_complexity(seq: str) -> bool:
     """FastqExtractor.cpp:89-111: dominated by one base, too many Ns, or
     at least two bases nearly absent."""
-    cnt = [0, 0, 0, 0, 0]
-    for ch in seq:
-        if ch == "N":
-            cnt[4] += 1
-        else:
-            c = encode_seq(ch)[0]
-            cnt[c if c < 4 else 0] += 1
+    codes = encode_seq(seq)
+    cnt = np.bincount(codes, minlength=5)
     n = len(seq)
     if (cnt[0] >= n // 2 or cnt[1] >= n // 2 or cnt[2] >= n // 2
             or cnt[3] >= n // 2 or cnt[4] >= n // 10):
         return True
-    low = sum(1 for i in range(4) if cnt[i] <= 2)
+    low = int((cnt[:4] <= 2).sum())
     return low >= 2
 
 
