@@ -22,11 +22,16 @@ import gzip
 import os
 import struct
 import zlib
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
 
 _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
+# hex() renders each packed byte as two nibble chars -> map to bases
+_HEX_TO_BASE = str.maketrans("0123456789abcdef", _SEQ_NIBBLE)
+_QUAL_PLUS_33 = bytes((min(q + 33, 255)) for q in range(256))
 _COMP = str.maketrans("ACGTN", "TGCAN")
 
 
@@ -142,22 +147,17 @@ class BamReader:
         name = d[off:off + l_read_name - 1].decode("ascii")
         off += l_read_name
         cigar = []
-        for i in range(n_cigar):
-            (v,) = struct.unpack("<I", d[off:off + 4])
-            cigar.append((v >> 4, v & 0xF))
-            off += 4
+        if n_cigar:
+            vals = struct.unpack(f"<{n_cigar}I", d[off:off + 4 * n_cigar])
+            cigar = [(v >> 4, v & 0xF) for v in vals]
+            off += 4 * n_cigar
         nbytes = (l_seq + 1) // 2
-        seq_chars = []
-        for i in range(l_seq):
-            b = d[off + i // 2]
-            nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
-            seq_chars.append(_SEQ_NIBBLE[nib])
-        seq = "".join(seq_chars)
+        seq = d[off:off + nbytes].hex().translate(_HEX_TO_BASE)[:l_seq]
         off += nbytes
         qual_raw = d[off:off + l_seq]
         qual = None
         if l_seq and qual_raw[0] != 0xFF:
-            qual = "".join(chr(q + 33) for q in qual_raw)
+            qual = qual_raw.translate(_QUAL_PLUS_33).decode("latin-1")
         off += l_seq
         tags: Dict[str, object] = {}
         while off < len(d):
