@@ -261,6 +261,131 @@ class BamWriter:
 
 # ---------------------------------------------------------------- extraction
 
+class _RecView:
+    """Lightweight record view over a native scan batch (bamscan.cc):
+    scalar fields as attributes, strings sliced from the batch blobs on
+    demand."""
+
+    __slots__ = ("flag", "tid", "pos", "mapq", "mtid", "mpos", "tlen",
+                 "l_seq", "ref_span_v", "name_hash", "_i", "_offs",
+                 "_blobs", "_name")
+
+    def __init__(self, row, i, offs, blobs, name_hash):
+        (self.flag, self.tid, self.pos, self.mapq, self.mtid, self.mpos,
+         self.tlen, self.l_seq, self.ref_span_v) = row
+        self._i = i
+        self._offs = offs
+        self._blobs = blobs
+        self.name_hash = name_hash
+        self._name = None
+
+    @property
+    def name(self) -> str:
+        if self._name is None:
+            o = self._offs["name"]
+            self._name = self._blobs["name"][o[self._i]:o[self._i + 1]]                 .decode("ascii")
+        return self._name
+
+    def _slice(self, key):
+        o = self._offs[key]
+        return self._blobs[key][o[self._i]:o[self._i + 1]]
+
+    @property
+    def is_paired(self):
+        return bool(self.flag & 0x1)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & 0x10)
+
+    @property
+    def mate_reverse(self):
+        return bool(self.flag & 0x20)
+
+    @property
+    def is_first_mate(self):
+        return bool(self.flag & 0x40)
+
+    @property
+    def is_primary(self):
+        return (self.flag & 0x900) == 0
+
+    def is_template_aligned(self):
+        if (self.flag & 0xD) == 0xD or (self.flag & 0x5) == 0x4                 or self.tid < 0:
+            return False
+        return True
+
+    def is_aligned(self):
+        return not ((self.flag & 0x4) or self.tid < 0)
+
+    def ref_span(self):
+        return self.ref_span_v
+
+    @property
+    def seq(self):
+        return self._slice("seq").decode("ascii")
+
+    def original_seq(self):
+        s = self.seq
+        if self.is_reverse:
+            return s[::-1].translate(_COMP)
+        return s
+
+    def original_qual(self):
+        q = self._slice("qual")
+        if not q and self.l_seq:
+            return None
+        q = q.decode("latin-1")
+        return q[::-1] if self.is_reverse else (q or None)
+
+    @property
+    def tags(self):
+        d = {}
+        bc = self._slice("bc")
+        if bc:
+            d["__bc__"] = bc.decode("ascii")
+        umi = self._slice("umi")
+        if umi:
+            d["__umi__"] = umi.decode("ascii")
+        return d
+
+
+class NativeBamReader:
+    """BamReader-compatible streaming reader backed by the native
+    scanner; string aux tags are limited to the requested barcode/UMI
+    tags (exposed as tags['__bc__'] / tags['__umi__'])."""
+
+    def __init__(self, path: str, bc_tag: str = "", umi_tag: str = "",
+                 trim_len: int = -1):
+        from ..native import BamScan
+
+        self._args = (path, bc_tag, umi_tag, trim_len)
+        self._scan = BamScan(path, bc_tag, umi_tag, trim_len)
+        self.path = path
+        self.ref_names = self._scan.ref_names
+        self.ref_lens = self._scan.ref_lens
+        self.header_text = self._scan.header_text
+        self.name_to_tid = {n: i for i, n in enumerate(self.ref_names)}
+
+    def rewind(self):
+        self._scan.close()
+        from ..native import BamScan
+
+        self._scan = BamScan(*self._args)
+
+    def __iter__(self):
+        while True:
+            b = self._scan.scan()
+            if b is None:
+                return
+            fields, hashes, offs, blobs = b
+            rows = fields.tolist()
+            hs = hashes.tolist()
+            offl = {k: v.tolist() for k, v in offs.items()}
+            for i in range(len(rows)):
+                yield _RecView(rows[i], i, offl, blobs, hs[i])
+
+
 def _general_info(reader: BamReader, sample_max: int = 100000):
     """Sample read length / fragment stats (alignments.hpp:597-690)."""
     lens: List[int] = []
@@ -271,7 +396,7 @@ def _general_info(reader: BamReader, sample_max: int = 100000):
         if not rec.is_primary:
             continue
         if len(lens) < sample_max:
-            lens.append(len(rec.seq))
+            lens.append(getattr(rec, "l_seq", None) or len(rec.seq))
         if (len(mate_diff) < sample_max and rec.tid == rec.mtid
                 and rec.pos < rec.mpos and rec.is_reverse != rec.mate_reverse):
             mate_diff.append(rec.mpos - rec.pos)
@@ -328,7 +453,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         refset.add_allele(rec.id, rec.seq, rec.comment)
     packed = refset.packed()
 
-    reader = BamReader(bam_path)
+    reader = NativeBamReader(bam_path, bc_field, umi_field)
     read_len, frag_len, frag_stdev = _general_info(reader)
     reader.rewind()
     paired = frag_stdev != 0
@@ -382,18 +507,82 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
 
     def out_bc(name, rec):
         if fp_bc is not None:
-            bc = rec.tags.get(bc_field)
+            bc = rec.tags.get("__bc__")
             fp_bc.write(f">{name}\n{bc if bc else 'missing_barcode'}\n")
         if fp_umi is not None:
-            umi = rec.tags.get(umi_field)
+            umi = rec.tags.get("__umi__")
             fp_umi.write(f">{name}\n{umi if umi else 'missing_barcode'}\n")
 
     candidates: Dict[str, List] = {}
+    cand_hashes: List[int] = []
     used_names: Dict[str, int] = {}
     tag = 0
-    it = iter(reader)
     n_out = 0
-    for rec in it:
+
+    # Batch pre-mask (conservative, exact under coordinate order): a
+    # record can matter only if its template is unaligned, it sits on an
+    # alternative contig, or it overlaps the union of the gene
+    # intervals.  The exact per-record logic below (including the
+    # reference's forward-only interval sweep) runs on the selected
+    # subset only.
+    is_alt = np.array(
+        [_valid_alternative_chrom(n) for n in reader.ref_names] + [False])
+    merged: List[Tuple[int, int, int]] = []
+    for gtid, gs, ge in genes:
+        if merged and merged[-1][0] == gtid and gs <= merged[-1][2]:
+            merged[-1] = (gtid, merged[-1][1], max(merged[-1][2], ge))
+        else:
+            merged.append((gtid, gs, ge))
+    SHIFT = 40
+    mkey_start = np.array([(t << SHIFT) + st for t, st, _ in merged],
+                          np.int64)
+    mkey_end = np.array([(t << SHIFT) + en for t, _, en in merged], np.int64)
+
+    def selected_views():
+        base = 0
+        while True:
+            b = reader._scan.scan()
+            if b is None:
+                return
+            fields, hashes, offs, blobs = b
+            flag = fields[:, 0]
+            tid = fields[:, 1]
+            pos = fields[:, 2].astype(np.int64)
+            span = fields[:, 8].astype(np.int64)
+            nta = (((flag & 0xD) == 0xD) | ((flag & 0x5) == 0x4)
+                   | (tid < 0))
+            aligned = ~(((flag & 0x4) != 0) | (tid < 0))
+            alt = aligned & is_alt[np.where(tid < 0, len(is_alt) - 1, tid)]
+            sel = nta | alt
+            if len(merged):
+                end = pos + span - 1
+                key_s = (tid.astype(np.int64) << SHIFT) + pos
+                key_e = (tid.astype(np.int64) << SHIFT) + end
+                # overlap(union): exists m with end > m.start and
+                # start <= m.end  (strictness mirrors the sweep)
+                j = np.searchsorted(mkey_start, key_e, side="left") - 1
+                jc = np.clip(j, 0, len(merged) - 1)
+                ov = (j >= 0) & (key_s <= mkey_end[jc]) & aligned
+                # also catch records starting before an interval that
+                # still reach past its start
+                j2 = np.searchsorted(mkey_start, key_s, side="right")
+                j2c = np.clip(j2, 0, len(merged) - 1)
+                ov |= ((j2 < len(merged)) & (key_e > mkey_start[j2c])
+                       & ((tid.astype(np.int64)) == (mkey_start[j2c] >> SHIFT))
+                       & aligned)
+                sel |= ov
+            idxs = np.flatnonzero(sel)
+            if len(idxs):
+                rows = fields[idxs].tolist()
+                hs = hashes[idxs].tolist()
+                offl = {k: v.tolist() for k, v in offs.items()}
+                for r, i, h in zip(rows, idxs.tolist(), hs):
+                    v = _RecView(r, i, offl, blobs, h)
+                    yield base + i, v
+            base += fields.shape[0]
+
+    it = selected_views()
+    for orig_i, rec in it:
         if (not rec.is_template_aligned()) or (
             rec.is_aligned()
             and _valid_alternative_chrom(reader.ref_names[rec.tid])
@@ -403,8 +592,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                 seq1 = rec.original_seq()
                 qual1 = rec.original_qual()
                 name = _trim_name(rec.name, mate_id_len)
-                mate = next(it, None)
-                if mate is None or _trim_name(mate.name, mate_id_len) != name:
+                nxt = next(it, None)
+                mate = nxt[1] if nxt is not None else None
+                if (mate is None or nxt[0] != orig_i + 1
+                        or _trim_name(mate.name, mate_id_len) != name):
                     raise RuntimeError(
                         "Two reads from the unaligned fragment are not "
                         "showing up together. Use --abnormalUnmapFlag.")
@@ -424,8 +615,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             seq = rec.original_seq()
             if paired:
                 if screen(seq):
-                    candidates.setdefault(_trim_name(rec.name, mate_id_len),
-                                          [None, None, None, None])
+                    key = _trim_name(rec.name, mate_id_len)
+                    if key not in candidates:
+                        candidates[key] = [None, None, None, None]
+                        cand_hashes.append(rec.name_hash)
             else:
                 if rec.is_aligned() and rec.name in used_names:
                     continue
@@ -454,8 +647,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         if is_low_complexity(seq):
             continue
         if paired:
-            candidates.setdefault(_trim_name(rec.name, mate_id_len),
-                                  [None, None, None, None])
+            key = _trim_name(rec.name, mate_id_len)
+            if key not in candidates:
+                candidates[key] = [None, None, None, None]
+                cand_hashes.append(rec.name_hash)
         else:
             if rec.name in used_names:
                 continue
@@ -472,16 +667,33 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             fp_umi.close()
         return {"candidates": n_out}
 
-    # second pass: recover both mates by name
+    # second pass: recover both mates by name (hash-prefiltered)
     reader.rewind()
     remaining = len(candidates)
-    for rec in reader:
+    hash_arr = np.unique(np.array(cand_hashes, dtype=np.uint64))
+
+    def pass2_views():
+        while True:
+            b = reader._scan.scan()
+            if b is None:
+                return
+            fields, hashes, offs, blobs = b
+            flag = fields[:, 0]
+            m = np.isin(hashes, hash_arr) & ((flag & 0x900) == 0)
+            if not abnormal_unmap_flag:
+                tid = fields[:, 1]
+                m &= ~(((flag & 0xD) == 0xD) | ((flag & 0x5) == 0x4)
+                       | (tid < 0))
+            idxs = np.flatnonzero(m)
+            if len(idxs):
+                rows = fields[idxs].tolist()
+                offl = {k: v.tolist() for k, v in offs.items()}
+                for r, i in zip(rows, idxs.tolist()):
+                    yield _RecView(r, i, offl, blobs, 0)
+
+    for rec in pass2_views():
         if remaining == 0:
             break
-        if not rec.is_primary:
-            continue
-        if not rec.is_template_aligned() and not abnormal_unmap_flag:
-            continue
         name = _trim_name(rec.name, mate_id_len)
         ent = candidates.get(name)
         if ent is None:

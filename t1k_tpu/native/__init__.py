@@ -25,7 +25,8 @@ _c_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
 def _build_if_needed() -> None:
-    srcs = [os.path.join(_DIR, f) for f in ("engine.cc", "em.cc")]
+    srcs = [os.path.join(_DIR, f)
+            for f in ("engine.cc", "em.cc", "bamscan.cc")]
     if os.path.exists(_SO) and all(
         os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs
     ):
@@ -362,3 +363,80 @@ def em_quantify(
         filter_frac, min_squarem_alpha, max_iterations, out,
     )
     return iters, out
+
+
+# ------------------------------------------------------- native BAM scan
+_lib.t1k_bam_open2.restype = ct.c_void_p
+_lib.t1k_bam_open2.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_char_p,
+                               ct.c_int32]
+_lib.t1k_bam_close.argtypes = [ct.c_void_p]
+_lib.t1k_bam_n_refs.restype = ct.c_int32
+_lib.t1k_bam_n_refs.argtypes = [ct.c_void_p]
+_lib.t1k_bam_ref_name.restype = ct.c_char_p
+_lib.t1k_bam_ref_name.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_bam_ref_len.restype = ct.c_int32
+_lib.t1k_bam_ref_len.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_bam_header_text.restype = ct.c_char_p
+_lib.t1k_bam_header_text.argtypes = [ct.c_void_p]
+_lib.t1k_bam_scan.restype = ct.c_int64
+_lib.t1k_bam_scan.argtypes = [ct.c_void_p, ct.c_int64]
+_lib.t1k_bam_fields.restype = ct.POINTER(ct.c_int32)
+_lib.t1k_bam_fields.argtypes = [ct.c_void_p]
+_lib.t1k_bam_name_hashes.restype = ct.POINTER(ct.c_uint64)
+_lib.t1k_bam_name_hashes.argtypes = [ct.c_void_p]
+_lib.t1k_bam_offsets.restype = ct.POINTER(ct.c_int64)
+_lib.t1k_bam_offsets.argtypes = [ct.c_void_p, ct.c_int32]
+_lib.t1k_bam_blob.restype = ct.c_void_p
+_lib.t1k_bam_blob.argtypes = [ct.c_void_p, ct.c_int32,
+                              ct.POINTER(ct.c_int64)]
+
+# Batch header-field columns (see bamscan.cc t1k_bam_scan).
+BAM_FIELDS = ("flag", "tid", "pos", "mapq", "mtid", "mpos", "tlen",
+              "l_seq", "ref_span")
+
+
+class BamScan:
+    """Streaming native BAM scanner; yields batches of flat arrays."""
+
+    def __init__(self, path: str, bc_tag: str = "", umi_tag: str = "",
+                 trim_len: int = -1):
+        self._handle = _lib.t1k_bam_open2(
+            path.encode(), bc_tag.encode(), umi_tag.encode(), trim_len)
+        if not self._handle:
+            raise IOError(f"cannot open BAM: {path}")
+        n = _lib.t1k_bam_n_refs(self._handle)
+        self.ref_names = [
+            _lib.t1k_bam_ref_name(self._handle, i).decode() for i in range(n)]
+        self.ref_lens = [
+            _lib.t1k_bam_ref_len(self._handle, i) for i in range(n)]
+        self.header_text = _lib.t1k_bam_header_text(self._handle).decode(
+            "ascii", "replace")
+
+    def close(self):
+        if self._handle:
+            _lib.t1k_bam_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()
+
+    def scan(self, max_records: int = 262144):
+        """Returns (fields [n,9] i32, name_hash [n] u64,
+        offsets dict, blobs dict) or None at EOF."""
+        n = int(_lib.t1k_bam_scan(self._handle, max_records))
+        if n == 0:
+            return None
+        fields = np.ctypeslib.as_array(
+            _lib.t1k_bam_fields(self._handle), shape=(n, 9)).copy()
+        hashes = np.ctypeslib.as_array(
+            _lib.t1k_bam_name_hashes(self._handle), shape=(n,)).copy()
+        offs = {}
+        blobs = {}
+        for i, key in enumerate(("name", "seq", "qual", "bc", "umi")):
+            offs[key] = np.ctypeslib.as_array(
+                _lib.t1k_bam_offsets(self._handle, i), shape=(n + 1,)).copy()
+            ln = ct.c_int64()
+            ptr = _lib.t1k_bam_blob(self._handle, i, ct.byref(ln))
+            blobs[key] = (ct.string_at(ptr, ln.value)
+                          if ln.value else b"")
+        return fields, hashes, offs, blobs
