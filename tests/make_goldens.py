@@ -296,6 +296,31 @@ def golden_barcode():
     print("barcode: done")
 
 
+def golden_runt1k():
+    """Full driver chain (extract -> genotype -> analyze) through the
+    reference run-t1k, on the rna case inputs."""
+    ref = os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa")
+    outdir = "/tmp/golden_runt1k"
+    os.makedirs(outdir, exist_ok=True)
+    subprocess.run(["perl", os.path.join(REF_BIN, "run-t1k"), "-f", ref,
+                    "-1", os.path.join(DATA, "rna_1.fq"),
+                    "-2", os.path.join(DATA, "rna_2.fq"),
+                    "--od", outdir, "-o", "chain"],
+                   check=True, capture_output=True)
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(os.path.join(outdir, "chain" + suffix)) as fin, open(
+                os.path.join(GOLDEN, "runt1k" + suffix), "w") as fout:
+            fout.write(fin.read())
+    digests = {}
+    for suffix in ("_candidate_1.fq", "_candidate_2.fq", "_aligned_1.fa",
+                   "_aligned_2.fa"):
+        digests[suffix] = sha256(os.path.join(outdir, "chain" + suffix))
+    with open(os.path.join(GOLDEN, "runt1k_digests.txt"), "w") as f:
+        for k, v in sorted(digests.items()):
+            f.write(f"{k}\t{v}\n")
+    print("runt1k: done")
+
+
 def main():
     os.makedirs(GOLDEN, exist_ok=True)
     os.makedirs(DATA, exist_ok=True)
@@ -332,6 +357,7 @@ def main():
             for k, v in sorted(digests.items()):
                 f.write(f"{k}\t{v}\n")
         print(f"{name}: done")
+    golden_runt1k()
 
 
 if __name__ == "__main__":

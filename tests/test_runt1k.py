@@ -1,0 +1,46 @@
+"""Full driver chain parity: extract -> genotype -> analyze through
+cli.run must match the reference run-t1k chain byte-for-byte."""
+
+import hashlib
+import os
+
+import pytest
+
+from tests.conftest import DATA_DIR, GOLDEN_DIR
+
+CYP_RNA = os.environ.get(
+    "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+) + "/cyp2d6_rna_seq.fa"
+
+
+def test_run_driver_chain_matches_reference(tmp_path):
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    golden = os.path.join(GOLDEN_DIR, "runt1k_genotype.tsv")
+    if not os.path.exists(golden):
+        pytest.skip("run tests/make_goldens.py first")
+    from t1k_tpu.cli.run import main
+
+    outdir = str(tmp_path / "chainrun")
+    rc = main(["-f", CYP_RNA,
+               "-1", os.path.join(DATA_DIR, "rna_1.fq"),
+               "-2", os.path.join(DATA_DIR, "rna_2.fq"),
+               "--od", outdir, "-o", "chain"])
+    assert rc == 0
+
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(os.path.join(outdir, "chain" + suffix)) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "runt1k" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"runt1k{suffix} differs"
+
+    digests = {}
+    with open(os.path.join(GOLDEN_DIR, "runt1k_digests.txt")) as f:
+        for line in f:
+            k, v = line.split()
+            digests[k] = v
+    for suffix, want in digests.items():
+        with open(os.path.join(outdir, "chain" + suffix), "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        assert got == want, f"runt1k{suffix} differs"
