@@ -892,28 +892,37 @@ struct ExtGeom {
 };
 
 static ExtGeom ExtendGeometry(Engine& eng, const Overlap& o, int len) {
-  const int8_t* seq = eng.Seq(o.seq);
   int seqLen = eng.SeqLen(o.seq);
+  const std::vector<int32_t>& seps = eng.separators[o.seq];
   ExtGeom g;
   g.leftOver = std::min(o.readStart, o.seqStart);
   g.leftClip = 0;
   g.rightClip = 0;
   if (o.readStart > o.seqStart) g.leftClip = o.readStart - o.seqStart;
-  for (int i = 0; i < g.leftOver; ++i) {
-    if (seq[o.seqStart - i - 1] == 4) {
+  if (!seps.empty()) {
+    // nearest 'N' separator in [seqStart - leftOver, seqStart) — binary
+    // search over the precomputed positions instead of a byte scan
+    auto it = std::lower_bound(seps.begin(), seps.end(),
+                               o.seqStart - g.leftOver);
+    if (it != seps.end() && *it < o.seqStart) {
+      // the reference scans outward from seqStart, so the CLOSEST
+      // separator wins: the last one below seqStart
+      auto it2 = std::lower_bound(seps.begin(), seps.end(), o.seqStart);
+      int32_t sep = *(it2 - 1);
+      int i = o.seqStart - 1 - sep;  // scan index at which it was found
       g.leftClip = g.leftOver - i;
       g.leftOver = i;
-      break;
     }
   }
   g.rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
   if (len - 1 - o.readEnd > seqLen - 1 - o.seqEnd)
     g.rightClip = (len - 1 - o.readEnd) - (seqLen - 1 - o.seqEnd);
-  for (int i = 0; i < g.rightOver; ++i) {
-    if (seq[o.seqEnd + 1 + i] == 4) {
+  if (!seps.empty()) {
+    auto it = std::lower_bound(seps.begin(), seps.end(), o.seqEnd + 1);
+    if (it != seps.end() && *it <= o.seqEnd + g.rightOver) {
+      int i = *it - (o.seqEnd + 1);
       g.rightClip = g.rightOver - i;
       g.rightOver = i;
-      break;
     }
   }
   return g;

@@ -94,3 +94,26 @@ def test_distributed_matches_single_host(workers, tmp_path):
         with open(os.path.join(GOLDEN_DIR, "rna" + suffix)) as f:
             want = f.read()
         assert got == want, f"distributed {suffix} differs"
+
+
+def test_thread_count_invariance(tmp_path):
+    """Race check: the multi-threaded engine must be byte-deterministic
+    and identical to single-threaded output (reference contiguous-shard
+    convention; coverage scatter is atomic and order-free)."""
+    case = CASES["dna"]
+    if not os.path.exists(case["ref"]):
+        pytest.skip("reference database not available")
+    p1 = os.path.join(DATA_DIR, "dna_1.fq")
+    p2 = os.path.join(DATA_DIR, "dna_2.fq")
+    outs = []
+    for threads in (1, 8):
+        prefix = str(tmp_path / f"t{threads}")
+        opts = _opts_from_args(case["args"])
+        opts.threads = threads
+        run_genotyper(case["ref"], [p1], [p2], prefix, opts)
+        with open(prefix + "_genotype.tsv") as f:
+            g = f.read()
+        with open(prefix + "_assign.tsv") as f:
+            a = "".join(sorted(f.readlines()))
+        outs.append((g, a))
+    assert outs[0] == outs[1]
