@@ -99,30 +99,74 @@ class VariantCaller:
     def _update_from_overlap(self, r_codes: np.ndarray, weight: float,
                              filter_low_qual: bool, o) -> None:
         """o carries .seq_idx/.seq_start/.read_start/.match_cnt/.similarity
-        and .align (int8 edit walk)."""
+        and .align (int8 edit walk).
+
+        Reference quirk preserved (VariantCaller.hpp:139-167): the
+        `continue` on a filtered/N substitution skips the refPos/readPos
+        increments at the loop tail, STALLING the walk — every later
+        position of that overlap shifts.  The vectorized path is used
+        only when no stall can occur; otherwise the sequential walk
+        reproduces the stalls exactly."""
         if o.seq_idx == -1 or o.align is None:
             return
         bv = self.base[o.seq_idx]
         align = o.align
         ref_pos, read_pos = _edit_walk_positions(align, o.seq_start, o.read_start)
         is_sub = (align == EDIT_MATCH) | (align == EDIT_MISMATCH)
-        for k in np.flatnonzero(is_sub):
-            rp = ref_pos[k]
-            nuc = r_codes[read_pos[k]]
-            if filter_low_qual and not bv.good_assignment(rp, o.match_cnt):
-                continue
-            if nuc >= 4:
-                continue
-            if weight == 1:
-                bv.uniq[rp, nuc] += weight
-            bv.count[rp, nuc] += 1
-            bv.unweighted[rp, nuc] += 1
-            if o.match_cnt > bv.best_match[rp, nuc]:
-                bv.best_match[rp, nuc] = o.match_cnt
-                bv.best_sim[rp, nuc] = o.similarity
-            elif (o.match_cnt == bv.best_match[rp, nuc]
-                  and o.similarity > bv.best_sim[rp, nuc]):
-                bv.best_sim[rp, nuc] = o.similarity
+        subs = np.flatnonzero(is_sub)
+
+        # stall detection on the unstalled coordinates: a stall at the
+        # first trigger invalidates everything after it
+        stall = False
+        if len(subs):
+            nucs = r_codes[read_pos[subs]]
+            if (nucs >= 4).any():
+                stall = True
+            elif filter_low_qual:
+                rps = ref_pos[subs]
+                lo = bv.best_match[rps] - 4
+                if (o.match_cnt < lo).any():
+                    stall = True
+
+        if not stall:
+            for k in subs:
+                rp = ref_pos[k]
+                nuc = r_codes[read_pos[k]]
+                if weight == 1:
+                    bv.uniq[rp, nuc] += weight
+                bv.count[rp, nuc] += 1
+                bv.unweighted[rp, nuc] += 1
+                if o.match_cnt > bv.best_match[rp, nuc]:
+                    bv.best_match[rp, nuc] = o.match_cnt
+                    bv.best_sim[rp, nuc] = o.similarity
+                elif (o.match_cnt == bv.best_match[rp, nuc]
+                      and o.similarity > bv.best_sim[rp, nuc]):
+                    bv.best_sim[rp, nuc] = o.similarity
+            return
+
+        rp = o.seq_start
+        rdp = o.read_start
+        for op in align.tolist():
+            if op == EDIT_MATCH or op == EDIT_MISMATCH:
+                if filter_low_qual and not bv.good_assignment(rp, o.match_cnt):
+                    continue  # stall: no position advance
+                nuc = r_codes[rdp]
+                if nuc >= 4:
+                    continue  # stall
+                if weight == 1:
+                    bv.uniq[rp, nuc] += weight
+                bv.count[rp, nuc] += 1
+                bv.unweighted[rp, nuc] += 1
+                if o.match_cnt > bv.best_match[rp, nuc]:
+                    bv.best_match[rp, nuc] = o.match_cnt
+                    bv.best_sim[rp, nuc] = o.similarity
+                elif (o.match_cnt == bv.best_match[rp, nuc]
+                      and o.similarity > bv.best_sim[rp, nuc]):
+                    bv.best_sim[rp, nuc] = o.similarity
+            if op != EDIT_INSERT:
+                rp += 1
+            if op != EDIT_DELETE:
+                rdp += 1
 
     def update_fragment(self, r1_codes, r2_codes, update_type: int,
                         frags: List) -> None:

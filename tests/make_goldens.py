@@ -236,6 +236,49 @@ def make_dna_variant_input():
     return ref, p1, p2
 
 
+def make_stall_variant_input():
+    """Same-major allele pair with close mutations: triggers the
+    variant-caller walk-stall quirk (filtered positions skip the
+    refPos/readPos increments, VariantCaller.hpp:139-167)."""
+    ref = os.path.join(CYP_IDX, "cyp2d6_rna_seq.fa")
+    by_name = {r.id: r for r in read_seq_file(ref)}
+    a, b = by_name["CYP2D6*4.016"], by_name["CYP2D6*4.022"]
+
+    def mut(rec, positions):
+        s = list(rec.seq)
+        for p in positions:
+            if s[p] != "N":
+                s[p] = "A" if s[p] != "A" else "G"
+        return SeqRecord(rec.id, "".join(s), None, rec.comment)
+
+    am = mut(a, [191, 929])
+    bm = mut(b, [191])
+    r1, r2 = simulate_pairs([am, bm], [1.0, 0.8],
+                            SimConfig(n_pairs=500, seed=5036))
+    p1 = os.path.join(DATA, "varstall_1.fq")
+    p2 = os.path.join(DATA, "varstall_2.fq")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    return ref, p1, p2
+
+
+def golden_stall_variant():
+    ref, p1, p2 = make_stall_variant_input()
+    prefix = "/tmp/golden_varstall"
+    subprocess.run([os.path.join(REF_BIN, "genotyper"), "-f", ref, "-1", p1,
+                    "-2", p2, "-o", prefix], check=True, capture_output=True)
+    subprocess.run([os.path.join(REF_BIN, "analyzer"), "-f", ref,
+                    "-a", prefix + "_allele.tsv",
+                    "-1", prefix + "_aligned_1.fa",
+                    "-2", prefix + "_aligned_2.fa", "-o", prefix],
+                   check=True, capture_output=True)
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(prefix + suffix) as fin, open(
+                os.path.join(GOLDEN, "varstall" + suffix), "w") as fout:
+            fout.write(fin.read())
+    print("varstall: done")
+
+
 def golden_dna_variant():
     ref, p1, p2 = make_dna_variant_input()
     prefix = "/tmp/golden_vardna"
@@ -328,6 +371,7 @@ def main():
     golden_barcode()
     golden_analyzer()
     golden_dna_variant()
+    golden_stall_variant()
     mg = build_multigene_reference()
     for name, case in CASES.items():
         ref = mg if case["ref"] == "MULTIGENE" else case["ref"]

@@ -69,3 +69,30 @@ def test_dna_variant_chain_matches_reference(tmp_path):
         with open(os.path.join(GOLDEN_DIR, "vardna" + suffix)) as f:
             want = f.read()
         assert got == want, f"vardna{suffix} differs"
+
+
+def test_variant_walk_stall_quirk(tmp_path):
+    """Same-major allele pair whose matchCnt spread triggers the
+    variant-caller's walk-stall (filtered substitutions skip position
+    advancement); outputs must stay byte-identical."""
+    ref = os.path.join(
+        os.environ.get("T1K_CYP2D6_IDX",
+                       "/root/reference/vcf_database/cyp2d6_idx"),
+        "cyp2d6_rna_seq.fa")
+    if not os.path.exists(ref):
+        pytest.skip("cyp2d6 database unavailable")
+    p1 = os.path.join(DATA_DIR, "varstall_1.fq")
+    if not os.path.exists(p1):
+        pytest.skip("run tests/make_goldens.py first")
+    p2 = os.path.join(DATA_DIR, "varstall_2.fq")
+
+    prefix = str(tmp_path / "varstall")
+    run_genotyper(ref, [p1], [p2], prefix, GenotypeOptions())
+    run_analyzer(ref, prefix + "_allele.tsv", [prefix + "_aligned_1.fa"],
+                 [prefix + "_aligned_2.fa"], prefix, AnalyzerOptions())
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(prefix + suffix) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "varstall" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"varstall{suffix} differs"
