@@ -384,7 +384,13 @@ def build_allele_fasta(dat_path: str, out: TextIO,
             rand_seq = "".join(num_to_nuc[rng.randint(4)] for _ in range(utr_length))
             best = gene5_best.get(gene, "")
             if best:
-                rand_seq = rand_seq[:len(rand_seq) - len(best)] + best
+                # Perl substr($rand, -$len, $len, $best) with an oversized
+                # replacement swallows the whole string: the padding
+                # becomes exactly $best (which can exceed utr_length)
+                if len(best) >= len(rand_seq):
+                    rand_seq = best
+                else:
+                    rand_seq = rand_seq[:len(rand_seq) - len(best)] + best
             gene5[gene] = rand_seq
         if gene not in gene3:
             rand_seq = "".join(num_to_nuc[rng.randint(4)] for _ in range(utr_length))

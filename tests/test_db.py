@@ -70,3 +70,14 @@ def test_vcf_database_chain():
     with open(os.path.join(GOLDEN_DIR, "vcfdb.dat")) as f:
         want_recs = sorted(r for r in f.read().split("//\n") if r.strip())
     assert got_recs == want_recs
+
+
+@pytest.mark.parametrize("mode", ["rna", "dna"])
+def test_oversized_utr_padding_quirk(mode, tmp_path):
+    """A gene whose alleles all start at (or near) exon 1 makes the
+    best-possible 5' padding longer than the 50bp UTR; Perl's oversized
+    substr splice swallows the whole random pad (ParseDatFile.pl:588)."""
+    dat = os.path.join(DATA_DIR, "synth_pad.dat")
+    with open(os.path.join(GOLDEN_DIR, f"synth_pad_{mode}.fa")) as f:
+        want = f.read()
+    assert _build(dat, mode) == want
