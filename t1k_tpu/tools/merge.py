@@ -42,7 +42,9 @@ def merge_genotypes(files: List[str], num_allele_per_gene: int = 2,
     header = ["sample"] + sorted(final_alleles.keys()) + ["inconsistency"]
     out.write("\t".join(header) + "\n")
     for f in files:
-        sample_alleles = {a: 0.0 for a in final_alleles}
+        # int 0 until touched: the reference prints untouched cells as
+        # "0", accumulated ones as floats (t1k-merge.py:62)
+        sample_alleles = {a: 0 for a in final_alleles}
         inconsistent: List[str] = []
         with open(f) as fp:
             for line in fp:
