@@ -49,10 +49,13 @@ def gtf_to_dat(genome_fa: str, gtf: str, out: TextIO, allele_id: str = "001",
                 j -= 3
         # the reference intends "longest transcript wins" but its length
         # helper reads a stale variable, so the first transcript always
-        # wins; we reproduce the observable behavior
+        # wins; the gene STRAND however is overwritten on every flush
+        # (GtfToDat.pl:90 sets it unconditionally), so a gene whose
+        # transcripts disagree gets first-transcript exons with
+        # last-transcript strand — reproduced faithfully
         if gname not in exons:
             exons[gname] = r
-            strand_of[gname] = strand
+        strand_of[gname] = strand
 
     with open(gtf) as f:
         for line in f:

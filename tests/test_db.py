@@ -81,3 +81,22 @@ def test_oversized_utr_padding_quirk(mode, tmp_path):
     with open(os.path.join(GOLDEN_DIR, f"synth_pad_{mode}.fa")) as f:
         want = f.read()
     assert _build(dat, mode) == want
+
+
+def test_gtf_to_dat_strand_overwrite_quirk(tmp_path):
+    """A gene whose transcripts disagree on strand: first-transcript
+    exons, LAST-transcript strand (GtfToDat.pl stale-length helper +
+    unconditional strand overwrite)."""
+    import io
+
+    from t1k_tpu.db.gtf_to_dat import gtf_to_dat
+
+    out = io.StringIO()
+    gtf_to_dat(os.path.join(DATA_DIR, "gtfdat_strand.fa"),
+               os.path.join(DATA_DIR, "gtfdat_strand.gtf"), out,
+               allele_id="007", source="fuzzsrc")
+    got = sorted(x for x in out.getvalue().split("//\n") if x.strip())
+    got = "//\n".join(got) + "//\n"
+    with open(os.path.join(GOLDEN_DIR, "gtfdat_strand.dat")) as f:
+        want = f.read()
+    assert got == want
