@@ -74,7 +74,10 @@ class RefContext:
                  relax_intron_align: bool = False,
                  ref_seq_similarity: float = 0.8):
         self.seq_lens = [a.length for a in refset.alleles]
-        self.separators = [a.separators for a in refset.alleles]
+        # sentinel-augmented like the reference (SeqSet.hpp:924-928):
+        # -1 and len() count as separators for the boundary checks
+        self.separators = [
+            [-1] + list(a.separators) + [a.length] for a in refset.alleles]
         self.hit_len_required = hit_len_required
         self.relax_intron_align = relax_intron_align
         self.ref_seq_similarity = ref_seq_similarity

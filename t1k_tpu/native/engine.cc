@@ -1586,8 +1586,14 @@ void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
   eng->separators.resize(n_seqs);
   for (int s = 0; s < n_seqs; ++s) {
     const int8_t* sc = eng->Seq(s);
+    // Sentinels at -1 and len mirror the reference's separator list
+    // (SeqSet.hpp:924-928): boundary positions count as separators, so
+    // e.g. a mate pair that would extend exactly to position 0 trips
+    // the truncated-mate filter.
+    eng->separators[s].push_back(-1);
     for (int i = 0; i < eng->lens[s]; ++i)
       if (sc[i] == 4) eng->separators[s].push_back(i);
+    eng->separators[s].push_back(eng->lens[s]);
     eng->index.AddSequence(sc, eng->lens[s], s);
   }
   return eng;

@@ -117,3 +117,21 @@ def test_thread_count_invariance(tmp_path):
             a = "".join(sorted(f.readlines()))
         outs.append((g, a))
     assert outs[0] == outs[1]
+
+
+def test_truncated_mate_boundary_sentinel(tmp_path):
+    """Fragments whose mate-pair window reaches exactly position 0 of a
+    better-matching allele must be dropped: the reference's separator
+    list carries -1/len boundary sentinels that trip the truncated-mate
+    filter (SeqSet.hpp:924-928, 502-520). Found by fuzzing."""
+    ref = os.path.join(DATA_DIR, "truncmate_panel.fa")
+    prefix = str(tmp_path / "tm")
+    run_genotyper(ref, [os.path.join(DATA_DIR, "truncmate_1.fq")],
+                  [os.path.join(DATA_DIR, "truncmate_2.fq")], prefix,
+                  GenotypeOptions(output_read_assignment=True))
+    with open(prefix + "_assign.tsv") as f:
+        assert f.read() == ""  # both fragments filtered
+    with open(prefix + "_genotype.tsv") as f:
+        got = f.read()
+    with open(os.path.join(GOLDEN_DIR, "truncmate_genotype.tsv")) as f:
+        assert got == f.read()
