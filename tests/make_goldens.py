@@ -364,9 +364,71 @@ def golden_runt1k():
     print("runt1k: done")
 
 
+def build_kirex_panel():
+    """Reconstruct the KIR panel for the reference repo's bundled example
+    reads from their ground-truth provenance headers (contig=, orig_begin=,
+    haplotype_infix= — zero conflicts, >99% coverage per allele).  Gaps are
+    filled with seeded random bases, mirroring ParseDatFile.pl:575-601's
+    srand(17) UTR padding.  The official expected output was built against
+    IPD-KIR v2.10.0 (not redistributable); this panel lets both the
+    reference binaries and the framework run the identical example reads."""
+    import collections
+    import re
+
+    import numpy as np
+
+    example = os.environ.get("T1K_EXAMPLE_DIR", "/root/reference/example")
+    scaff = collections.defaultdict(dict)
+    for mate in ("example_1.fq", "example_2.fq"):
+        with open(os.path.join(example, mate)) as f:
+            lines = f.read().splitlines()
+        for i in range(0, len(lines), 4):
+            h = lines[i]
+            c = re.search(r"contig=(\S+)", h).group(1)
+            b = int(re.search(r"orig_begin=(\d+)", h).group(1))
+            infix = re.search(r"haplotype_infix=(\S+)", h).group(1)
+            d = scaff[c]
+            for j, base in enumerate(infix):
+                assert d.get(b + j, base) == base, "provenance conflict"
+                d[b + j] = base
+    rng = np.random.default_rng(17)
+    panel = os.path.join(DATA, "kirex_rna.fa")
+    with open(panel, "w") as f:
+        for c in sorted(scaff):
+            d = scaff[c]
+            length = max(d) + 1
+            seq = "".join(d.get(p) or "ACGT"[rng.integers(0, 4)]
+                          for p in range(length))
+            f.write(f">{c} 1 50 {length - 51}\n{seq}\n")
+    return panel
+
+
+def golden_kirex():
+    """Full driver chain on the bundled example reads (see test_example)."""
+    example = os.environ.get("T1K_EXAMPLE_DIR", "/root/reference/example")
+    panel = build_kirex_panel()
+    outdir = "/tmp/golden_kirex"
+    os.makedirs(outdir, exist_ok=True)
+    subprocess.run(["perl", os.path.join(REF_BIN, "run-t1k"), "-f", panel,
+                    "-1", os.path.join(example, "example_1.fq"),
+                    "-2", os.path.join(example, "example_2.fq"),
+                    "--od", outdir, "-o", "exref", "-t", "1"],
+                   check=True, capture_output=True)
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(os.path.join(outdir, "exref" + suffix)) as fin, open(
+                os.path.join(GOLDEN, "kirex" + suffix), "w") as fout:
+            fout.write(fin.read())
+    with open(os.path.join(GOLDEN, "kirex_digests.txt"), "w") as f:
+        for suffix in ("_candidate_1.fq", "_candidate_2.fq",
+                       "_aligned_1.fa", "_aligned_2.fa"):
+            f.write(f"{suffix} {sha256(os.path.join(outdir, 'exref' + suffix))}\n")
+    print("kirex: done")
+
+
 def main():
     os.makedirs(GOLDEN, exist_ok=True)
     os.makedirs(DATA, exist_ok=True)
+    golden_kirex()
     golden_extractor()
     golden_barcode()
     golden_analyzer()
