@@ -385,35 +385,49 @@ class NativeBamReader:
             for i in range(len(rows)):
                 yield _RecView(rows[i], i, offl, blobs, hs[i])
 
+    def scan_blocks(self):
+        """Yield raw (fields, hashes, offs, blobs) batches."""
+        while True:
+            b = self._scan.scan()
+            if b is None:
+                return
+            yield b
 
-def _general_info(reader: BamReader, sample_max: int = 100000):
-    """Sample read length / fragment stats (alignments.hpp:597-690)."""
-    lens: List[int] = []
-    mate_diff: List[int] = []
+
+def _general_info(reader: "NativeBamReader", sample_max: int = 100000):
+    """Sample read length / fragment stats (alignments.hpp:597-690),
+    vectorized over the native scan's batch columns (flag, tid, pos,
+    mtid, mpos, l_seq)."""
+    len_chunks: List[np.ndarray] = []
+    mate_chunks: List[np.ndarray] = []
     total = 0
     has_mate = 0
-    for rec in reader:
-        if not rec.is_primary:
-            continue
-        if len(lens) < sample_max:
-            lens.append(getattr(rec, "l_seq", None) or len(rec.seq))
-        if (len(mate_diff) < sample_max and rec.tid == rec.mtid
-                and rec.pos < rec.mpos and rec.is_reverse != rec.mate_reverse):
-            mate_diff.append(rec.mpos - rec.pos)
-        if rec.flag & 0x1:
-            has_mate += 1
-        total += 1
-        if total >= sample_max:
+    while total < sample_max:
+        fields = reader._scan.scan_headers()
+        if fields is None:
             break
-    lens.sort()
-    read_len = lens[-1] if lens else 0
+        f = fields[(fields[:, 0] & 0x900) == 0]
+        if total + len(f) > sample_max:
+            f = f[:sample_max - total]
+        flag = f[:, 0]
+        len_chunks.append(f[:, 7])
+        md = ((f[:, 1] == f[:, 4]) & (f[:, 2] < f[:, 5])
+              & (((flag >> 4) ^ (flag >> 5)) & 1).astype(bool))
+        mate_chunks.append((f[:, 5] - f[:, 2])[md].astype(np.int64))
+        has_mate += int(np.count_nonzero(flag & 0x1))
+        total += len(f)
+    lens = (np.concatenate(len_chunks) if len_chunks
+            else np.zeros(0, np.int32))
+    read_len = int(lens.max()) if len(lens) else 0
     if has_mate >= total / 2 and total:
+        mate_diff = (np.concatenate(mate_chunks) if mate_chunks
+                     else np.zeros(0, np.int64))
         mate_diff.sort()
-        k = int(len(mate_diff) * 0.7)
-        k = max(k, 1)
-        vals = [d + read_len for d in mate_diff[:k]]
-        frag_len = sum(vals) // k
-        frag_stdev = int((sum(v * v for v in vals) // k - frag_len * frag_len) ** 0.5)
+        k = max(int(len(mate_diff) * 0.7), 1)
+        vals = mate_diff[:k] + read_len
+        frag_len = int(vals.sum()) // k
+        frag_stdev = int((int((vals * vals).sum()) // k
+                          - frag_len * frag_len) ** 0.5)
         if frag_stdev == 0:
             frag_stdev = 1
     else:
@@ -468,15 +482,6 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         if kmer_length > hit_len:
             hit_len = kmer_length
     engine = NativeEngine(packed, kmer_length, hit_len_required=hit_len)
-
-    def screen(seq: str) -> bool:
-        if is_low_complexity(seq):
-            return False
-        import numpy as np
-        codes = encode_seq(seq)
-        return bool(engine.screen_batch(
-            codes, np.zeros(1, np.int64),
-            np.array([len(seq)], np.int32))[0])
 
     # gene intervals
     genes: List[Tuple[int, int, int]] = []
@@ -541,10 +546,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     def selected_views():
         base = 0
         while True:
-            b = reader._scan.scan()
+            b = reader._scan.scan_lazy()
             if b is None:
                 return
-            fields, hashes, offs, blobs = b
+            fields, hashes = b
             flag = fields[:, 0]
             tid = fields[:, 1]
             pos = fields[:, 2].astype(np.int64)
@@ -573,13 +578,107 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                 sel |= ov
             idxs = np.flatnonzero(sel)
             if len(idxs):
+                offs, blobs = reader._scan.fetch(idxs)
                 rows = fields[idxs].tolist()
                 hs = hashes[idxs].tolist()
-                offl = {k: v.tolist() for k, v in offs.items()}
-                for r, i, h in zip(rows, idxs.tolist(), hs):
-                    v = _RecView(r, i, offl, blobs, h)
+                for j, (r, i, h) in enumerate(zip(rows, idxs.tolist(), hs)):
+                    v = _RecView(r, j, offs, blobs, h)
                     yield base + i, v
             base += fields.shape[0]
+
+    # Pass 1 runs as collect -> batch-screen -> replay: the sequential
+    # sweep/mate logic stays in the collect loop, the k-mer screen runs
+    # as ONE native batch call per flush, and the order-dependent
+    # bookkeeping (used_names, candidate registration, output order)
+    # replays in the original record order, so outputs stay
+    # byte-identical to the reference's record-at-a-time loop.
+    jobs: List[tuple] = []
+    screen_seqs: List[str] = []
+
+    def want_screen(seq: str) -> int:
+        screen_seqs.append(seq)
+        return len(screen_seqs) - 1
+
+    def flush_jobs():
+        nonlocal jobs, screen_seqs, n_out
+        if not jobs:
+            return
+        if screen_seqs:
+            n = len(screen_seqs)
+            lens = np.array([len(s) for s in screen_seqs], np.int64)
+            starts = np.zeros(n, np.int64)
+            starts[1:] = np.cumsum(lens[:-1])
+            codes = encode_seq("".join(screen_seqs))
+            # vectorized is_low_complexity (FastqExtractor.cpp:89-111)
+            seg = np.repeat(np.arange(n), lens)
+            cnt = np.bincount(seg * 5 + codes, minlength=n * 5)                 .reshape(n, 5)
+            lc = ((cnt[:, :4] >= (lens // 2)[:, None]).any(axis=1)
+                  | (cnt[:, 4] >= lens // 10)
+                  | ((cnt[:, :4] <= 2).sum(axis=1) >= 2))
+            hits = engine.screen_batch(
+                codes, starts, lens.astype(np.int32))
+            passed = (hits.astype(bool) & ~lc).tolist()
+            not_lc = (~lc).tolist()
+        else:
+            passed = []
+            not_lc = []
+        for job in jobs:
+            kind = job[0]
+            if kind == "pair":
+                (_, name, seq1, qual1, seq2, qual2, bc_rec, swap,
+                 s1, s2) = job
+                if (not_lc[s1] and not_lc[s2]
+                        and (passed[s1] or passed[s2])):
+                    if swap:
+                        seq1, seq2 = seq2, seq1
+                        qual1, qual2 = qual2, qual1
+                    out_rec(fp1, name, seq1, qual1)
+                    out_rec(fp2, name, seq2, qual2)
+                    out_bc(name, bc_rec)
+                    n_out += 1
+            elif kind == "sel":
+                _, name, key, seq, qual, bc_rec, aligned, name_hash, si = job
+                if paired:
+                    if passed[si] and key not in candidates:
+                        candidates[key] = [None, None, None, None]
+                        cand_hashes.append(name_hash)
+                else:
+                    if aligned and name in used_names:
+                        continue
+                    if passed[si]:
+                        if aligned:
+                            used_names[name] = 1
+                        out_rec(fp1, name, seq, qual)
+                        out_bc(name, bc_rec)
+                        n_out += 1
+            else:  # "region": interval hit; only the low-complexity gate
+                _, name, key, seq, qual, bc_rec, name_hash, si = job
+                if not not_lc[si]:
+                    continue
+                if paired:
+                    if key not in candidates:
+                        candidates[key] = [None, None, None, None]
+                        cand_hashes.append(name_hash)
+                else:
+                    if name in used_names:
+                        continue
+                    used_names[name] = 1
+                    out_rec(fp1, name, seq, qual)
+                    out_bc(name, bc_rec)
+                    n_out += 1
+        jobs = []
+        screen_seqs = []
+
+    want_tags = fp_bc is not None or fp_umi is not None
+
+    class _BcTags:
+        __slots__ = ("tags",)
+
+        def __init__(self, tags):
+            self.tags = tags
+
+    def bc_snapshot(rec):
+        return _BcTags(rec.tags if want_tags else {})
 
     it = selected_views()
     for orig_i, rec in it:
@@ -601,33 +700,18 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                         "showing up together. Use --abnormalUnmapFlag.")
                 seq2 = mate.original_seq()
                 qual2 = mate.original_qual()
-                if (not is_low_complexity(seq1) and not is_low_complexity(seq2)
-                        and (screen(seq1) or screen(seq2))):
-                    if not rec.is_first_mate:
-                        seq1, seq2 = seq2, seq1
-                        qual1, qual2 = qual2, qual1
-                    out_rec(fp1, name, seq1, qual1)
-                    out_rec(fp2, name, seq2, qual2)
-                    out_bc(name, mate)
-                    n_out += 1
-                continue
-
-            seq = rec.original_seq()
-            if paired:
-                if screen(seq):
-                    key = _trim_name(rec.name, mate_id_len)
-                    if key not in candidates:
-                        candidates[key] = [None, None, None, None]
-                        cand_hashes.append(rec.name_hash)
+                jobs.append(("pair", name, seq1, qual1, seq2, qual2,
+                             bc_snapshot(mate), not rec.is_first_mate,
+                             want_screen(seq1), want_screen(seq2)))
             else:
-                if rec.is_aligned() and rec.name in used_names:
-                    continue
-                if screen(seq):
-                    if rec.is_aligned():
-                        used_names[rec.name] = 1
-                    out_rec(fp1, rec.name, seq, rec.original_qual())
-                    out_bc(rec.name, rec)
-                    n_out += 1
+                seq = rec.original_seq()
+                jobs.append(("sel", rec.name,
+                             _trim_name(rec.name, mate_id_len), seq,
+                             rec.original_qual(), bc_snapshot(rec),
+                             rec.is_aligned(), rec.name_hash,
+                             want_screen(seq)))
+            if len(jobs) >= 65536:
+                flush_jobs()
             continue
 
         if not rec.is_aligned():
@@ -644,20 +728,13 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                 rec.tid == genes[tag][0] and end <= genes[tag][1]):
             continue
         seq = rec.original_seq()
-        if is_low_complexity(seq):
-            continue
-        if paired:
-            key = _trim_name(rec.name, mate_id_len)
-            if key not in candidates:
-                candidates[key] = [None, None, None, None]
-                cand_hashes.append(rec.name_hash)
-        else:
-            if rec.name in used_names:
-                continue
-            used_names[rec.name] = 1
-            out_rec(fp1, rec.name, seq, rec.original_qual())
-            out_bc(rec.name, rec)
-            n_out += 1
+        jobs.append(("region", rec.name,
+                     _trim_name(rec.name, mate_id_len), seq,
+                     rec.original_qual(), bc_snapshot(rec), rec.name_hash,
+                     want_screen(seq)))
+        if len(jobs) >= 65536:
+            flush_jobs()
+    flush_jobs()
 
     if not paired:
         fp1.close()
@@ -674,10 +751,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
 
     def pass2_views():
         while True:
-            b = reader._scan.scan()
+            b = reader._scan.scan_lazy()
             if b is None:
                 return
-            fields, hashes, offs, blobs = b
+            fields, hashes = b
             flag = fields[:, 0]
             m = np.isin(hashes, hash_arr) & ((flag & 0x900) == 0)
             if not abnormal_unmap_flag:
@@ -686,10 +763,10 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                        | (tid < 0))
             idxs = np.flatnonzero(m)
             if len(idxs):
+                offs, blobs = reader._scan.fetch(idxs)
                 rows = fields[idxs].tolist()
-                offl = {k: v.tolist() for k, v in offs.items()}
-                for r, i in zip(rows, idxs.tolist()):
-                    yield _RecView(r, i, offl, blobs, 0)
+                for j, r in enumerate(rows):
+                    yield _RecView(r, j, offs, blobs, 0)
 
     for rec in pass2_views():
         if remaining == 0:

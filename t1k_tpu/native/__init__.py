@@ -380,6 +380,13 @@ _lib.t1k_bam_header_text.restype = ct.c_char_p
 _lib.t1k_bam_header_text.argtypes = [ct.c_void_p]
 _lib.t1k_bam_scan.restype = ct.c_int64
 _lib.t1k_bam_scan.argtypes = [ct.c_void_p, ct.c_int64]
+_lib.t1k_bam_scan2.restype = ct.c_int64
+_lib.t1k_bam_scan2.argtypes = [ct.c_void_p, ct.c_int64, ct.c_int32]
+_lib.t1k_bam_fetch.restype = None
+_lib.t1k_bam_fetch.argtypes = [ct.c_void_p,
+                               np.ctypeslib.ndpointer(np.int64,
+                                                      flags="C_CONTIGUOUS"),
+                               ct.c_int64]
 _lib.t1k_bam_fields.restype = ct.POINTER(ct.c_int32)
 _lib.t1k_bam_fields.argtypes = [ct.c_void_p]
 _lib.t1k_bam_name_hashes.restype = ct.POINTER(ct.c_uint64)
@@ -420,16 +427,7 @@ class BamScan:
     def __del__(self):
         self.close()
 
-    def scan(self, max_records: int = 262144):
-        """Returns (fields [n,9] i32, name_hash [n] u64,
-        offsets dict, blobs dict) or None at EOF."""
-        n = int(_lib.t1k_bam_scan(self._handle, max_records))
-        if n == 0:
-            return None
-        fields = np.ctypeslib.as_array(
-            _lib.t1k_bam_fields(self._handle), shape=(n, 9)).copy()
-        hashes = np.ctypeslib.as_array(
-            _lib.t1k_bam_name_hashes(self._handle), shape=(n,)).copy()
+    def _text_views(self, n: int):
         offs = {}
         blobs = {}
         for i, key in enumerate(("name", "seq", "qual", "bc", "umi")):
@@ -439,4 +437,45 @@ class BamScan:
             ptr = _lib.t1k_bam_blob(self._handle, i, ct.byref(ln))
             blobs[key] = (ct.string_at(ptr, ln.value)
                           if ln.value else b"")
+        return offs, blobs
+
+    def scan(self, max_records: int = 262144):
+        """Eager scan: returns (fields [n,9] i32, name_hash [n] u64,
+        offsets dict, blobs dict) or None at EOF."""
+        n = int(_lib.t1k_bam_scan2(self._handle, max_records, 0))
+        if n == 0:
+            return None
+        fields = np.ctypeslib.as_array(
+            _lib.t1k_bam_fields(self._handle), shape=(n, 9)).copy()
+        hashes = np.ctypeslib.as_array(
+            _lib.t1k_bam_name_hashes(self._handle), shape=(n,)).copy()
+        offs, blobs = self._text_views(n)
         return fields, hashes, offs, blobs
+
+    def scan_lazy(self, max_records: int = 262144):
+        """Lazy scan: returns (fields [n,9] i32, name_hash [n] u64) or
+        None; call fetch(idxs) for the text blobs of selected rows."""
+        n = int(_lib.t1k_bam_scan2(self._handle, max_records, 1))
+        if n == 0:
+            return None
+        fields = np.ctypeslib.as_array(
+            _lib.t1k_bam_fields(self._handle), shape=(n, 9)).copy()
+        hashes = np.ctypeslib.as_array(
+            _lib.t1k_bam_name_hashes(self._handle), shape=(n,)).copy()
+        return fields, hashes
+
+    def scan_headers(self, max_records: int = 262144):
+        """Headers-only scan (fields [n,9] i32, ref_span not populated
+        beyond the cigar walk) or None; for sampling passes."""
+        n = int(_lib.t1k_bam_scan2(self._handle, max_records, 2))
+        if n == 0:
+            return None
+        return np.ctypeslib.as_array(
+            _lib.t1k_bam_fields(self._handle), shape=(n, 9)).copy()
+
+    def fetch(self, idxs: np.ndarray):
+        """Decode text blobs for `idxs` (rows of the last scan_lazy
+        batch); returns (offs dict, blobs dict) indexed 0..len(idxs)."""
+        idxs = np.ascontiguousarray(idxs, np.int64)
+        _lib.t1k_bam_fetch(self._handle, idxs, len(idxs))
+        return self._text_views(len(idxs))

@@ -14,21 +14,130 @@
 
 #include <zlib.h>
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace t1kbam {
 
+// Parallel BGZF inflater: BGZF members are independently-deflated gzip
+// members (SAM spec §4.1, BC extra subfield carries the member size),
+// so a batch of members can be raw-inflated concurrently.  The
+// reference's samtools bgzf reader is strictly serial; this pool is
+// where the extraction stage beats it on wall clock.
+struct InflatePool {
+  struct Task {
+    const uint8_t* src;
+    size_t srcLen;
+    uint8_t* dst;
+    size_t dstLen;
+  };
+  std::vector<std::thread> workers;
+  std::vector<Task> tasks;
+  std::mutex mu;
+  std::condition_variable cvWork, cvDone;
+  size_t next = 0;
+  size_t done = 0;
+  uint64_t generation = 0;
+  bool stop = false;
+
+  explicit InflatePool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers.emplace_back([this] { Run(); });
+  }
+  ~InflatePool() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cvWork.notify_all();
+    for (auto& w : workers) w.join();
+  }
+
+  static void InflateOne(z_stream& zs, const Task& t) {
+    inflateReset(&zs);
+    zs.next_in = const_cast<Bytef*>(t.src);
+    zs.avail_in = (uInt)t.srcLen;
+    zs.next_out = t.dst;
+    zs.avail_out = (uInt)t.dstLen;
+    inflate(&zs, Z_FINISH);
+  }
+
+  void Run() {
+    z_stream zs{};
+    inflateInit2(&zs, -15);  // raw deflate
+    uint64_t gen = 0;
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      cvWork.wait(lk, [&] { return stop || (generation != gen
+                                            && next < tasks.size()); });
+      if (stop) break;
+      gen = generation;
+      while (next < tasks.size()) {
+        Task t = tasks[next++];
+        lk.unlock();
+        InflateOne(zs, t);
+        lk.lock();
+        ++done;
+      }
+      if (done == tasks.size()) cvDone.notify_all();
+    }
+    inflateEnd(&zs);
+  }
+
+  // Run all tasks (caller's thread participates), blocking until done.
+  void Execute(std::vector<Task>&& batch) {
+    z_stream zs{};
+    inflateInit2(&zs, -15);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      tasks = std::move(batch);
+      next = 0;
+      done = 0;
+      ++generation;
+    }
+    cvWork.notify_all();
+    for (;;) {
+      Task t;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (next >= tasks.size()) break;
+        t = tasks[next++];
+      }
+      InflateOne(zs, t);
+      std::lock_guard<std::mutex> lk(mu);
+      ++done;
+      if (done == tasks.size()) cvDone.notify_all();
+    }
+    inflateEnd(&zs);
+    std::unique_lock<std::mutex> lk(mu);
+    cvDone.wait(lk, [&] { return done == tasks.size(); });
+  }
+};
+
 struct Scanner {
   FILE* fp = nullptr;
   z_stream zs{};
-  std::vector<uint8_t> inBuf;
   std::vector<uint8_t> data;   // decompressed, rolling
   size_t dataPos = 0;
   bool eof = false;
+
+  // parallel BGZF path (nullptr => serial gzip-stream fallback)
+  InflatePool* pool = nullptr;
+  std::vector<uint8_t> comp;   // compressed, rolling
+  size_t compPos = 0;
+  bool fileEof = false;
+
+  // async prefetch: between scan calls the Python side only touches
+  // copies, so a background thread keeps inflating into `data`
+  std::thread prefetch;
+  bool prefetchActive = false;
 
   // header
   std::string headerText;
@@ -40,22 +149,50 @@ struct Scanner {
   std::vector<uint64_t> nameHash;
   std::vector<int64_t> nameOff, seqOff, qualOff, bcOff, umiOff;
   std::string names, seqs, quals, bcs, umis;
+  // lazy mode: raw record bytes (block_size-prefixed layout without the
+  // prefix), decoded on demand by t1k_bam_fetch
+  std::vector<int64_t> rawOff;
+  std::string raw;
   char bcTag[3] = {0, 0, 0};
   char umiTag[3] = {0, 0, 0};
   int32_t trimLen = -1;  // -1: strip a trailing /1 or /2
 
   ~Scanner() {
+    if (prefetchActive) prefetch.join();
     if (fp) fclose(fp);
     inflateEnd(&zs);
+    delete pool;
   }
 };
 
-static const char kNib[17] = "=ACMGRSVTWYHKDBN";
+// Append more compressed bytes from the file; returns false if nothing
+// could be added.
+static bool AppendComp(Scanner& s) {
+  if (s.fileEof) return false;
+  size_t old = s.comp.size();
+  s.comp.resize(old + (4 << 20));
+  size_t got = fread(s.comp.data() + old, 1, 4 << 20, s.fp);
+  s.comp.resize(old + got);
+  if (got == 0) {
+    s.fileEof = true;
+    return false;
+  }
+  return true;
+}
 
-// Pull more decompressed bytes; returns false at end of stream.
-static bool Refill(Scanner& s) {
+static uint16_t Le16(const uint8_t* p) {
+  return (uint16_t)(p[0] | (p[1] << 8));
+}
+static uint32_t Le32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+// Serial fallback: stream the comp buffer through the gzip-mode
+// z_stream (handles non-BGZF gzip and odd members).
+static bool RefillSerial(Scanner& s) {
   if (s.eof) return false;
-  // compact consumed prefix
   if (s.dataPos > (1 << 20)) {
     s.data.erase(s.data.begin(), s.data.begin() + s.dataPos);
     s.dataPos = 0;
@@ -63,13 +200,18 @@ static bool Refill(Scanner& s) {
   uint8_t out[1 << 16];
   for (int round = 0; round < 64; ++round) {
     if (s.zs.avail_in == 0) {
-      size_t got = fread(s.inBuf.data(), 1, s.inBuf.size(), s.fp);
-      if (got == 0) {
+      // compact + top up the compressed buffer (safe: no live next_in)
+      if (s.compPos > (8 << 20)) {
+        s.comp.erase(s.comp.begin(), s.comp.begin() + s.compPos);
+        s.compPos = 0;
+      }
+      if (s.comp.size() == s.compPos && !AppendComp(s)) {
         s.eof = true;
         return s.data.size() > s.dataPos;
       }
-      s.zs.next_in = s.inBuf.data();
-      s.zs.avail_in = (uInt)got;
+      s.zs.next_in = s.comp.data() + s.compPos;
+      s.zs.avail_in = (uInt)(s.comp.size() - s.compPos);
+      s.compPos = s.comp.size();
     }
     s.zs.next_out = out;
     s.zs.avail_out = sizeof(out);
@@ -77,7 +219,7 @@ static bool Refill(Scanner& s) {
     size_t produced = sizeof(out) - s.zs.avail_out;
     s.data.insert(s.data.end(), out, out + produced);
     if (rc == Z_STREAM_END) {
-      inflateReset(&s.zs);  // next BGZF member
+      inflateReset(&s.zs);  // next gzip member
     } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
       s.eof = true;
       return s.data.size() > s.dataPos;
@@ -85,6 +227,115 @@ static bool Refill(Scanner& s) {
     if (s.data.size() - s.dataPos > (1 << 18)) return true;
   }
   return true;
+}
+
+static bool Refill(Scanner& s);
+
+// Parallel path: collect a window of complete BGZF members, inflate
+// them concurrently on the pool, append in order.
+static bool RefillParallel(Scanner& s) {
+  if (s.eof) return false;
+  if (s.dataPos > (1 << 20)) {
+    s.data.erase(s.data.begin(), s.data.begin() + s.dataPos);
+    s.dataPos = 0;
+  }
+  if (s.compPos > (8 << 20)) {
+    s.comp.erase(s.comp.begin(), s.comp.begin() + s.compPos);
+    s.compPos = 0;
+  }
+
+  struct Member {
+    size_t payloadOff, payloadLen, outLen;
+  };
+  std::vector<Member> members;
+  size_t totalOut = 0;
+  size_t p = s.compPos;
+  bool parseFail = false;
+  while (totalOut < (8u << 20)) {
+    while (s.comp.size() - p < 18) {
+      if (!AppendComp(s)) break;
+    }
+    if (s.comp.size() - p < 18) break;  // trailing partial / EOF
+    const uint8_t* h = s.comp.data() + p;
+    if (!(h[0] == 0x1f && h[1] == 0x8b && h[2] == 8 && (h[3] & 4))) {
+      parseFail = true;
+      break;
+    }
+    uint16_t xlen = Le16(h + 10);
+    while (s.comp.size() - p < (size_t)12 + xlen) {
+      if (!AppendComp(s)) break;
+    }
+    if (s.comp.size() - p < (size_t)12 + xlen) break;
+    h = s.comp.data() + p;
+    size_t bsize = 0;
+    for (size_t q = 12; q + 4 <= (size_t)12 + xlen;) {
+      uint16_t slen = Le16(h + q + 2);
+      if (h[q] == 'B' && h[q + 1] == 'C' && slen == 2) {
+        bsize = (size_t)Le16(h + q + 4) + 1;
+        break;
+      }
+      q += 4 + slen;
+    }
+    if (bsize < (size_t)12 + xlen + 8) {
+      parseFail = true;
+      break;
+    }
+    while (s.comp.size() - p < bsize) {
+      if (!AppendComp(s)) break;
+    }
+    if (s.comp.size() - p < bsize) break;
+    uint32_t isize = Le32(s.comp.data() + p + bsize - 4);
+    members.push_back({p + 12 + xlen, bsize - 12 - xlen - 8, isize});
+    totalOut += isize;
+    p += bsize;
+  }
+
+  if (members.empty()) {
+    if (parseFail) {
+      // odd member mid-stream: hand the remainder to the serial path
+      delete s.pool;
+      s.pool = nullptr;
+      return RefillSerial(s);
+    }
+    s.eof = true;
+    return s.data.size() > s.dataPos;
+  }
+
+  size_t base = s.data.size();
+  s.data.resize(base + totalOut);
+  std::vector<InflatePool::Task> tasks;
+  tasks.reserve(members.size());
+  uint8_t* dst = s.data.data() + base;
+  for (const Member& m : members) {
+    tasks.push_back({s.comp.data() + m.payloadOff, m.payloadLen,
+                     dst, m.outLen});
+    dst += m.outLen;
+  }
+  s.pool->Execute(std::move(tasks));
+  s.compPos = p;
+  return true;
+}
+
+// Pull more decompressed bytes; returns false at end of stream.
+static bool Refill(Scanner& s) {
+  return s.pool ? RefillParallel(s) : RefillSerial(s);
+}
+
+static void JoinPrefetch(Scanner& s) {
+  if (s.prefetchActive) {
+    s.prefetch.join();
+    s.prefetchActive = false;
+  }
+}
+
+static void StartPrefetch(Scanner& s) {
+  if (s.eof || !s.pool || s.prefetchActive) return;
+  s.prefetchActive = true;
+  s.prefetch = std::thread([&s] {
+    while (!s.eof && s.data.size() - s.dataPos < (64u << 20)) {
+      if (!Refill(s)) break;
+    }
+  });
 }
 
 static bool Need(Scanner& s, size_t n) {
@@ -101,6 +352,91 @@ static int32_t RdI32(Scanner& s) {
   return v;
 }
 
+static const char kNibble[17] = "=ACMGRSVTWYHKDBN";
+
+// Decode the variable-length parts of one raw record (name, sequence
+// text, qual text, requested Z tags) into the staging blobs.
+static void DecodeRecord(Scanner& s, const uint8_t* d, size_t blockSize) {
+  uint32_t binMqNl, flagNC;
+  int32_t lSeq;
+  std::memcpy(&binMqNl, d + 8, 4);
+  std::memcpy(&flagNC, d + 12, 4);
+  std::memcpy(&lSeq, d + 16, 4);
+  int lReadName = binMqNl & 0xFF;
+  int nCigar = flagNC & 0xFFFF;
+
+  size_t off = 32;
+  s.names.append((const char*)d + off, lReadName - 1);
+  off += lReadName + 4 * (size_t)nCigar;
+
+  size_t seqBase = s.seqs.size();
+  s.seqs.resize(seqBase + lSeq);
+  const uint8_t* packed = d + off;
+  for (int i = 0; i < lSeq; ++i) {
+    uint8_t b = packed[i >> 1];
+    s.seqs[seqBase + i] = kNibble[(i & 1) ? (b & 0xF) : (b >> 4)];
+  }
+  off += (lSeq + 1) / 2;
+
+  size_t qualBase = s.quals.size();
+  if (lSeq && d[off] != 0xFF) {
+    s.quals.resize(qualBase + lSeq);
+    for (int i = 0; i < lSeq; ++i)
+      s.quals[qualBase + i] = (char)(d[off + i] + 33);
+  }
+  off += lSeq;
+
+  // aux tags: harvest the requested Z tags, skip the rest
+  while (off + 3 <= blockSize) {
+    char t0 = d[off], t1 = d[off + 1], typ = d[off + 2];
+    off += 3;
+    if (typ == 'Z' || typ == 'H') {
+      size_t end = off;
+      while (end < blockSize && d[end] != 0) ++end;
+      if (t0 == s.bcTag[0] && t1 == s.bcTag[1])
+        s.bcs.append((const char*)d + off, end - off);
+      else if (t0 == s.umiTag[0] && t1 == s.umiTag[1])
+        s.umis.append((const char*)d + off, end - off);
+      off = end + 1;
+    } else if (typ == 'A' || typ == 'c' || typ == 'C') {
+      off += 1;
+    } else if (typ == 's' || typ == 'S') {
+      off += 2;
+    } else if (typ == 'i' || typ == 'I' || typ == 'f') {
+      off += 4;
+    } else if (typ == 'B') {
+      uint8_t sub = d[off];
+      int32_t cnt;
+      std::memcpy(&cnt, d + off + 1, 4);
+      int sz = (sub == 'c' || sub == 'C') ? 1
+               : (sub == 's' || sub == 'S') ? 2
+                                            : 4;
+      off += 5 + (size_t)cnt * sz;
+    } else {
+      break;
+    }
+  }
+
+  s.nameOff.push_back((int64_t)s.names.size());
+  s.seqOff.push_back((int64_t)s.seqs.size());
+  s.qualOff.push_back((int64_t)s.quals.size());
+  s.bcOff.push_back((int64_t)s.bcs.size());
+  s.umiOff.push_back((int64_t)s.umis.size());
+}
+
+static void ClearTextStaging(Scanner& s) {
+  s.nameOff.assign(1, 0);
+  s.seqOff.assign(1, 0);
+  s.qualOff.assign(1, 0);
+  s.bcOff.assign(1, 0);
+  s.umiOff.assign(1, 0);
+  s.names.clear();
+  s.seqs.clear();
+  s.quals.clear();
+  s.bcs.clear();
+  s.umis.clear();
+}
+
 }  // namespace t1kbam
 
 extern "C" {
@@ -113,9 +449,29 @@ void* t1k_bam_open2(const char* path, const char* bc_tag,
     delete s;
     return nullptr;
   }
-  s->inBuf.resize(1 << 20);
   inflateInit2(&s->zs, 15 + 16);
   s->trimLen = trim_len;
+
+  // BGZF probe: gzip magic + FEXTRA with a BC subfield => members are
+  // independently deflated and the parallel inflate path applies.
+  {
+    uint8_t head[18];
+    size_t got = fread(head, 1, sizeof(head), s->fp);
+    fseek(s->fp, 0, SEEK_SET);
+    bool bgzf = false;
+    if (got == sizeof(head) && head[0] == 0x1f && head[1] == 0x8b &&
+        head[2] == 8 && (head[3] & 4)) {
+      uint16_t xlen = t1kbam::Le16(head + 10);
+      if (xlen >= 6 && head[12] == 'B' && head[13] == 'C' &&
+          t1kbam::Le16(head + 14) == 2)
+        bgzf = true;
+    }
+    if (bgzf) {
+      unsigned hw = std::thread::hardware_concurrency();
+      int extra = hw > 1 ? (int)(hw > 8 ? 7 : hw - 1) : 0;
+      s->pool = new t1kbam::InflatePool(extra);
+    }
+  }
   if (bc_tag && bc_tag[0]) std::memcpy(s->bcTag, bc_tag, 2);
   if (umi_tag && umi_tag[0]) std::memcpy(s->umiTag, umi_tag, 2);
 
@@ -169,20 +525,19 @@ const char* t1k_bam_header_text(void* h) {
 // Scan up to max_records records into the staging batch.  Returns the
 // record count (0 at end of file).  Header fields per record:
 // [flag, tid, pos, mapq, mtid, mpos, tlen, l_seq, ref_span].
-int64_t t1k_bam_scan(void* h, int64_t max_records) {
+// mode 0: eager — text blobs (name/seq/qual/tags) decoded for every
+//         record.
+// mode 1: lazy — fields + name hashes + raw record bytes; text decoded
+//         later for selected indices via t1k_bam_fetch.
+// mode 2: headers-only — fields only (sampling pass; no hashes/raw).
+int64_t t1k_bam_scan2(void* h, int64_t max_records, int32_t mode) {
   auto& s = *static_cast<t1kbam::Scanner*>(h);
+  t1kbam::JoinPrefetch(s);
   s.fields.clear();
   s.nameHash.clear();
-  s.nameOff.assign(1, 0);
-  s.seqOff.assign(1, 0);
-  s.qualOff.assign(1, 0);
-  s.bcOff.assign(1, 0);
-  s.umiOff.assign(1, 0);
-  s.names.clear();
-  s.seqs.clear();
-  s.quals.clear();
-  s.bcs.clear();
-  s.umis.clear();
+  s.rawOff.assign(1, 0);
+  s.raw.clear();
+  t1kbam::ClearTextStaging(s);
 
   int64_t n = 0;
   while (n < max_records) {
@@ -213,18 +568,21 @@ int64_t t1k_bam_scan(void* h, int64_t max_records) {
     size_t off = 32;
     const char* name = (const char*)d + off;
     int nameLen = lReadName - 1;
-    // hash over the mate-trimmed name so both mates share the key
-    int hashLen = nameLen;
-    if (s.trimLen == -1) {
-      if (nameLen >= 2 && name[nameLen - 2] == '/' &&
-          (name[nameLen - 1] == '1' || name[nameLen - 1] == '2'))
-        hashLen = nameLen - 2;
-    } else if (s.trimLen > 0 && s.trimLen <= nameLen) {
-      hashLen = nameLen - s.trimLen;
+    if (mode != 2) {
+      // hash over the mate-trimmed name so both mates share the key
+      int hashLen = nameLen;
+      if (s.trimLen == -1) {
+        if (nameLen >= 2 && name[nameLen - 2] == '/' &&
+            (name[nameLen - 1] == '1' || name[nameLen - 1] == '2'))
+          hashLen = nameLen - 2;
+      } else if (s.trimLen > 0 && s.trimLen <= nameLen) {
+        hashLen = nameLen - s.trimLen;
+      }
+      uint64_t hsh = 1469598103934665603ull;
+      for (int i = 0; i < hashLen; ++i)
+        hsh = (hsh ^ (uint8_t)name[i]) * 1099511628211ull;
+      s.nameHash.push_back(hsh);
     }
-    uint64_t hsh = 1469598103934665603ull;
-    for (int i = 0; i < hashLen; ++i)
-      hsh = (hsh ^ (uint8_t)name[i]) * 1099511628211ull;
     off += lReadName;
 
     int32_t refSpan = 0;
@@ -236,70 +594,36 @@ int64_t t1k_bam_scan(void* h, int64_t max_records) {
       if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
         refSpan += v >> 4;
     }
-    off += 4 * (size_t)nCigar;
-
-    size_t seqBase = s.seqs.size();
-    s.seqs.resize(seqBase + lSeq);
-    const uint8_t* packed = d + off;
-    for (int i = 0; i < lSeq; ++i) {
-      uint8_t b = packed[i >> 1];
-      s.seqs[seqBase + i] =
-          t1kbam::kNib[(i & 1) ? (b & 0xF) : (b >> 4)];
-    }
-    off += (lSeq + 1) / 2;
-
-    size_t qualBase = s.quals.size();
-    if (lSeq && d[off] != 0xFF) {
-      s.quals.resize(qualBase + lSeq);
-      for (int i = 0; i < lSeq; ++i)
-        s.quals[qualBase + i] = (char)(d[off + i] + 33);
-    }
-    off += lSeq;
-
-    // aux tags: harvest the requested Z tags, skip the rest
-    while (off + 3 <= (size_t)blockSize) {
-      char t0 = d[off], t1 = d[off + 1], typ = d[off + 2];
-      off += 3;
-      if (typ == 'Z' || typ == 'H') {
-        size_t end = off;
-        while (end < (size_t)blockSize && d[end] != 0) ++end;
-        if (t0 == s.bcTag[0] && t1 == s.bcTag[1])
-          s.bcs.append((const char*)d + off, end - off);
-        else if (t0 == s.umiTag[0] && t1 == s.umiTag[1])
-          s.umis.append((const char*)d + off, end - off);
-        off = end + 1;
-      } else if (typ == 'A' || typ == 'c' || typ == 'C') {
-        off += 1;
-      } else if (typ == 's' || typ == 'S') {
-        off += 2;
-      } else if (typ == 'i' || typ == 'I' || typ == 'f') {
-        off += 4;
-      } else if (typ == 'B') {
-        uint8_t sub = d[off];
-        int32_t cnt;
-        std::memcpy(&cnt, d + off + 1, 4);
-        int sz = (sub == 'c' || sub == 'C') ? 1
-                 : (sub == 's' || sub == 'S') ? 2
-                                              : 4;
-        off += 5 + (size_t)cnt * sz;
-      } else {
-        break;
-      }
-    }
 
     const int32_t row[9] = {flag, tid, pos, mapq, mtid,
                             mpos, tlen, lSeq, refSpan};
     s.fields.insert(s.fields.end(), row, row + 9);
-    s.nameHash.push_back(hsh);
-    s.names.append(name, nameLen);
-    s.nameOff.push_back((int64_t)s.names.size());
-    s.seqOff.push_back((int64_t)s.seqs.size());
-    s.qualOff.push_back((int64_t)s.quals.size());
-    s.bcOff.push_back((int64_t)s.bcs.size());
-    s.umiOff.push_back((int64_t)s.umis.size());
+    if (mode == 0) {
+      t1kbam::DecodeRecord(s, d, (size_t)blockSize);
+    } else if (mode == 1) {
+      s.raw.append((const char*)d, blockSize);
+      s.rawOff.push_back((int64_t)s.raw.size());
+    }
     ++n;
   }
+  t1kbam::StartPrefetch(s);
   return n;
+}
+
+int64_t t1k_bam_scan(void* h, int64_t max_records) {
+  return t1k_bam_scan2(h, max_records, 0);
+}
+
+// Decode text blobs for a subset of the last lazy (mode 1) batch.  The
+// offset/blob accessors then describe the k selected records in order.
+void t1k_bam_fetch(void* h, const int64_t* idxs, int64_t k) {
+  auto& s = *static_cast<t1kbam::Scanner*>(h);
+  t1kbam::ClearTextStaging(s);
+  for (int64_t j = 0; j < k; ++j) {
+    int64_t i = idxs[j];
+    const uint8_t* d = (const uint8_t*)s.raw.data() + s.rawOff[i];
+    t1kbam::DecodeRecord(s, d, (size_t)(s.rawOff[i + 1] - s.rawOff[i]));
+  }
 }
 
 // Batch accessors (valid until the next t1k_bam_scan call).
