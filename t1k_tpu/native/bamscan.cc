@@ -378,12 +378,13 @@ static void DecodeRecord(Scanner& s, const uint8_t* d, size_t blockSize) {
   }
   off += (lSeq + 1) / 2;
 
+  // The reference's GetQual (alignments.hpp:565-580) adds 33 without a
+  // missing-qual check, so absent quals (0xFF bytes) become spaces via
+  // char truncation; candidate output is then always FASTQ.
   size_t qualBase = s.quals.size();
-  if (lSeq && d[off] != 0xFF) {
-    s.quals.resize(qualBase + lSeq);
-    for (int i = 0; i < lSeq; ++i)
-      s.quals[qualBase + i] = (char)(d[off + i] + 33);
-  }
+  s.quals.resize(qualBase + lSeq);
+  for (int i = 0; i < lSeq; ++i)
+    s.quals[qualBase + i] = (char)(d[off + i] + 33);
   off += lSeq;
 
   // aux tags: harvest the requested Z tags, skip the rest

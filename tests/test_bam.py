@@ -171,3 +171,34 @@ def test_barcoded_bam_single_cell_chain(tmp_path):
     # uniq counts across cells sum to the fragment count
     total_uniq = sum(int(line.split("\t")[-1]) for line in lines[1:])
     assert total_uniq == 200
+
+
+def test_missing_qual_records_emit_space_quals(tmp_path):
+    """The reference's GetQual (alignments.hpp:565-580) adds 33 to the
+    raw qual bytes unconditionally, so BAM records without quals (0xFF
+    fill) come out as FASTQ with all-space qual strings — never FASTA.
+    Pinned by a 200-case randomized BAM fuzz vs the reference binary."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.bam import BamRecord, BamWriter, extract_from_bam
+    from t1k_tpu.io.reads import read_seq_file
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    seq = by_name["CYP2D6*1"].seq[200:300]
+    coord = str(tmp_path / "coord.fa")
+    with open(coord, "w") as f:
+        f.write(f">CYP2D6*1 chr22 10000 11500 +\n{by_name['CYP2D6*1'].seq}\n")
+    bam = str(tmp_path / "noqual.bam")
+    w = BamWriter(bam, ["chr22"], [1000000], "@HD\tVN:1.6\tSO:coordinate\n")
+    w.write(BamRecord("nq", 0x0, 0, 10500, 60, [(len(seq), 0)], -1, -1, 0,
+                      seq, None, {}))
+    w.close()
+    prefix = str(tmp_path / "cand")
+    stats = extract_from_bam(bam, coord, coord, prefix)
+    assert stats["candidates"] == 1
+    with open(prefix + ".fq") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "@nq"
+    assert lines[1] == seq
+    assert lines[2] == "+"
+    assert lines[3] == " " * len(seq)
