@@ -1128,11 +1128,23 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
       if (weight > 0) {
         int refPos = e.seqStart, readPos = e.readStart;
         int32_t* pw = eng.posWeight.data() + 4 * eng.SeqStart(e.seq);
-        for (int8_t op : edits) {
-          if (op == kEditMatch && r[readPos] < 4)
-            AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
-          if (op != kEditInsert) ++refPos;
-          if (op != kEditDelete) ++readPos;
+        if (eng.nThreads <= 1) {
+          // single-threaded: plain adds skip the lock prefix — this
+          // scatter runs once per near-best allele per read (~1e9 adds
+          // at HLA scale)
+          for (int8_t op : edits) {
+            if (op == kEditMatch && r[readPos] < 4)
+              pw[4 * refPos + r[readPos]] += weight;
+            if (op != kEditInsert) ++refPos;
+            if (op != kEditDelete) ++readPos;
+          }
+        } else {
+          for (int8_t op : edits) {
+            if (op == kEditMatch && r[readPos] < 4)
+              AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
+            if (op != kEditInsert) ++refPos;
+            if (op != kEditDelete) ++readPos;
+          }
         }
       }
     }
