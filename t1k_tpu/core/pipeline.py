@@ -109,11 +109,17 @@ def assign_unique_reads(
         starts[1:] = np.cumsum(lens[:-1])
     w = np.array(weights, dtype=np.int32)
     if dp_backend == "tpu":
+        import jax
+
         from ..ops.align_pallas_band import make_deferred_stats_fn
 
+        # Pallas only compiles on TPU; on a CPU-only host (tests, dev
+        # boxes) the same kernel runs in interpret mode — identical
+        # results, no separate code path.
+        interpret = dp_interpret or jax.default_backend() == "cpu"
         rec, off = engine.assign_batch_deferred(
             codes, starts, lens, w,
-            make_deferred_stats_fn(interpret=dp_interpret),
+            make_deferred_stats_fn(interpret=interpret),
             store_results=store_results,
             chunk_size=defer_chunk if not store_results else 0)
     else:

