@@ -77,3 +77,27 @@ if mode == "both":
         a = open(f"{OUT}/ref{suf}").read()
         b = open(f"{OUT}/mine{suf}").read()
         print(suf, "identical" if a == b else "DIFFERS")
+
+
+if mode == "chain":
+    import shutil
+    ref_bin_dir = os.environ.get("T1K_REFERENCE_BIN", "/tmp/t1k-ref")
+    t0 = time.time()
+    subprocess.run(["perl", os.path.join(ref_bin_dir, "run-t1k"),
+                    "-f", PANEL, "-1", FQ1, "-2", FQ2,
+                    "--od", f"{OUT}/refchain", "-o", "c", "-t", threads],
+                   check=True, capture_output=True)
+    t_ref = time.time() - t0
+    print(f"reference chain: {t_ref:.1f}s")
+
+    from t1k_tpu.cli.run import main as rmain
+
+    t0 = time.time()
+    rc = rmain(["-f", PANEL, "-1", FQ1, "-2", FQ2,
+                "--od", f"{OUT}/minechain", "-o", "c", "-t", threads])
+    t_mine = time.time() - t0
+    print(f"mine chain: {t_mine:.1f}s rc={rc}")
+    for suf in ("_genotype.tsv", "_allele.tsv", "_allele.vcf"):
+        a = open(f"{OUT}/refchain/c{suf}").read()
+        b = open(f"{OUT}/minechain/c{suf}").read()
+        print(suf, "identical" if a == b else "DIFFERS")

@@ -38,7 +38,7 @@ class AnalyzerOptions:
 class _AnalyzerOverlap:
     """Overlap view carrying the edit walk for the variant caller."""
     __slots__ = ("seq_idx", "read_start", "read_end", "seq_start", "seq_end",
-                 "strand", "match_cnt", "similarity", "align")
+                 "strand", "match_cnt", "similarity", "align", "walk_cache")
 
     def __init__(self, rec):
         self.seq_idx = rec.seq_idx
@@ -50,6 +50,7 @@ class _AnalyzerOverlap:
         self.match_cnt = rec.match_cnt
         self.similarity = rec.similarity
         self.align = None
+        self.walk_cache = None
 
 
 class _AnalyzerFragment:

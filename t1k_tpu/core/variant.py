@@ -54,21 +54,25 @@ class BaseVariants:
         self.unweighted = np.zeros((length, 4), dtype=np.float64)
         self.best_match = np.zeros((length, 4), dtype=np.int64)     # alignInfo.a
         self.best_sim = np.zeros((length, 4), dtype=np.float64)     # alignInfo.b
+        # rowwise max of best_match, kept in sync: good_assignment is a
+        # hot call and "within 4 of every best" == "within 4 of the max"
+        self.best_match_max = np.zeros(length, dtype=np.int64)
         self.exon = exon_mask
         self.candidate_id = np.full(length, -1, dtype=np.int64)
         self.final_variant_ids: Dict[int, List[int]] = {}
 
     def good_assignment(self, pos: int, match_cnt: int) -> bool:
         # good iff matchCnt is within 4 of every best alignment seen here
-        return bool((match_cnt >= self.best_match[pos] - 4).all())
+        return match_cnt >= self.best_match_max[pos] - 4
 
 
 def _edit_walk_positions(align: np.ndarray, seq_start: int, read_start: int):
     """Vectorized walk: per op, the (refPos, readPos) BEFORE applying it."""
     not_ins = align != EDIT_INSERT
     not_del = align != EDIT_DELETE
-    ref_pos = seq_start + np.concatenate([[0], np.cumsum(not_ins)[:-1]])
-    read_pos = read_start + np.concatenate([[0], np.cumsum(not_del)[:-1]])
+    # exclusive prefix sum = inclusive - self
+    ref_pos = seq_start + np.cumsum(not_ins) - not_ins
+    read_pos = read_start + np.cumsum(not_del) - not_del
     return ref_pos, read_pos
 
 
@@ -111,9 +115,16 @@ class VariantCaller:
             return
         bv = self.base[o.seq_idx]
         align = o.align
-        ref_pos, read_pos = _edit_walk_positions(align, o.seq_start, o.read_start)
-        is_sub = (align == EDIT_MATCH) | (align == EDIT_MISMATCH)
-        subs = np.flatnonzero(is_sub)
+        walk = getattr(o, "walk_cache", None)
+        if walk is None:
+            ref_pos, read_pos = _edit_walk_positions(
+                align, o.seq_start, o.read_start)
+            subs = np.flatnonzero(
+                (align == EDIT_MATCH) | (align == EDIT_MISMATCH))
+            # the same overlap is walked once per update pass
+            # (alignment-info, then weighted) -- cache the coordinates
+            o.walk_cache = walk = (ref_pos, read_pos, subs)
+        ref_pos, read_pos, subs = walk
 
         # stall detection on the unstalled coordinates: a stall at the
         # first trigger invalidates everything after it
@@ -129,19 +140,25 @@ class VariantCaller:
                     stall = True
 
         if not stall:
-            for k in subs:
-                rp = ref_pos[k]
-                nuc = r_codes[read_pos[k]]
+            if len(subs):
+                # vectorized: ref positions strictly increase along the
+                # walk, so (rp, nuc) index pairs are unique
+                rps = ref_pos[subs]
+                nucs = r_codes[read_pos[subs]]
                 if weight == 1:
-                    bv.uniq[rp, nuc] += weight
-                bv.count[rp, nuc] += 1
-                bv.unweighted[rp, nuc] += 1
-                if o.match_cnt > bv.best_match[rp, nuc]:
-                    bv.best_match[rp, nuc] = o.match_cnt
-                    bv.best_sim[rp, nuc] = o.similarity
-                elif (o.match_cnt == bv.best_match[rp, nuc]
-                      and o.similarity > bv.best_sim[rp, nuc]):
-                    bv.best_sim[rp, nuc] = o.similarity
+                    bv.uniq[rps, nucs] += weight
+                bv.count[rps, nucs] += 1
+                bv.unweighted[rps, nucs] += 1
+                bm = bv.best_match[rps, nucs]
+                bs = bv.best_sim[rps, nucs]
+                gt = o.match_cnt > bm
+                eq = (o.match_cnt == bm) & (o.similarity > bs)
+                if gt.any():
+                    bv.best_match[rps[gt], nucs[gt]] = o.match_cnt
+                    bv.best_sim[rps[gt], nucs[gt]] = o.similarity
+                    np.maximum.at(bv.best_match_max, rps[gt], o.match_cnt)
+                if eq.any():
+                    bv.best_sim[rps[eq], nucs[eq]] = o.similarity
             return
 
         rp = o.seq_start
@@ -160,6 +177,8 @@ class VariantCaller:
                 if o.match_cnt > bv.best_match[rp, nuc]:
                     bv.best_match[rp, nuc] = o.match_cnt
                     bv.best_sim[rp, nuc] = o.similarity
+                    if o.match_cnt > bv.best_match_max[rp]:
+                        bv.best_match_max[rp] = o.match_cnt
                 elif (o.match_cnt == bv.best_match[rp, nuc]
                       and o.similarity > bv.best_sim[rp, nuc]):
                     bv.best_sim[rp, nuc] = o.similarity
@@ -237,6 +256,20 @@ class VariantCaller:
                 k == 1 or (k == 0 and frags[0].o1_from_r2)) else frags[0].read_len1
             ref_pos = [o.seq_start for o in ovs]
             if any(o.read_start != ovs[0].read_start for o in ovs[1:]):
+                continue
+            # The position walk only mutates state when some current ref
+            # position carries a candidate (first_cid != -1), and the
+            # walk's ref positions stay within [seq_start, seq_end + 1].
+            # Skip the whole walk when no overlap's window contains any
+            # candidate -- provably output-neutral, and candidates are
+            # sparse.  (The reference's own precheck is defeated by an
+            # always-true quirk, VariantCaller.hpp:371-377; correcting it
+            # changes no output, only work.)
+            if not any(
+                (self.base[o.seq_idx].candidate_id[
+                    o.seq_start:o.seq_end + 2] != -1).any()
+                for o in ovs
+            ):
                 continue
             read_pos = [o.read_start for o in ovs]
             align_idx = [0] * n
