@@ -2,14 +2,18 @@
 
 Per-cell genotyping -> cross-cell allele voting -> reduced reference of
 the winning alleles -> per-cell re-genotyping against the reduced
-reference (--noExtraction).  Cells are independent; on a device mesh
-they are dispatched as a batched axis (each worker processes a cell
-shard; the heavy compute per cell goes through the shared engine).
+reference (--noExtraction).  Cells are independent, so both per-cell
+passes dispatch over a worker pool (`--workers N`): each worker
+processes a cell shard against its own replica of the reference — the
+same layout scales cells across pod hosts (north-star config 5).  The
+cross-cell voting and reduced-reference construction are global
+barriers between the two passes, exactly as in t1k-smartseq.pl.
 """
 
 from __future__ import annotations
 
 import argparse
+import multiprocessing
 import os
 from typing import List, Optional
 
@@ -35,12 +39,23 @@ def run_cell(args_common: dict, ref: str, file1: str, file2: Optional[str],
     return os.path.join(outdir, f"{prefix}_genotype.tsv")
 
 
+def _run_cells(jobs: list, workers: int) -> List[str]:
+    """Dispatch independent per-cell pipelines over a process pool (cell
+    shards; results returned in cell order)."""
+    if workers <= 1 or len(jobs) <= 1:
+        return [run_cell(*job) for job in jobs]
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(min(workers, len(jobs))) as pool:
+        return pool.starmap(run_cell, jobs)
+
+
 def run_smartseq(
     read1_list: str,
     read2_list: Optional[str],
     ref: str,
     output_prefix: str = "T1K",
     t1k_args: Optional[dict] = None,
+    workers: int = 1,
 ) -> str:
     """Returns the path of the final merged genotype matrix."""
     t1k_args = t1k_args or {}
@@ -52,12 +67,13 @@ def run_smartseq(
             files2 = [line.strip() for line in f if line.strip()]
 
     cells = []
-    genotype_files = []
+    jobs = []
     for f1, f2 in zip(files1, files2):
         cell = os.path.basename(f1).split(".")[0]
         outdir = f"{output_prefix}_{cell}"
-        genotype_files.append(run_cell(t1k_args, ref, f1, f2, outdir, cell))
+        jobs.append((t1k_args, ref, f1, f2, outdir, cell))
         cells.append(cell)
+    genotype_files = _run_cells(jobs, workers)
     with open(f"{output_prefix}_genotype_list.out", "w") as f:
         f.write("".join(p + "\n" for p in genotype_files))
 
@@ -79,7 +95,7 @@ def run_smartseq(
             if any(w in header for w in wanted):
                 out.write(f">{header}\n{rec.seq}\n")
 
-    reduced_files = []
+    jobs = []
     for cell, f2 in zip(cells, files2):
         outdir = f"{output_prefix}_{cell}"
         if f2 is not None:
@@ -88,8 +104,9 @@ def run_smartseq(
         else:
             c1 = os.path.join(outdir, f"{cell}_candidate.fq")
             c2 = None
-        reduced_files.append(run_cell(t1k_args, reduced_ref, c1, c2, outdir,
-                                      f"{cell}_reduced", no_extraction=True))
+        jobs.append((t1k_args, reduced_ref, c1, c2, outdir,
+                     f"{cell}_reduced", True))
+    reduced_files = _run_cells(jobs, workers)
     with open(f"{output_prefix}_reduced_genotype_list.out", "w") as f:
         f.write("".join(p + "\n" for p in reduced_files))
 
@@ -105,13 +122,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-2", dest="list2", default=None)
     ap.add_argument("-f", dest="ref", required=True)
     ap.add_argument("-o", dest="prefix", default="T1K")
-    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-t", dest="threads", type=int, default=1,
+                    help="threads per cell pipeline")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="cells processed concurrently (process pool)")
     ap.add_argument("--preset", default=None)
     args = ap.parse_args(argv)
     extra = {}
     if args.preset:
         extra["--preset"] = args.preset
-    run_smartseq(args.list1, args.list2, args.ref, args.prefix, extra)
+    if args.threads != 1:
+        extra["-t"] = args.threads
+    run_smartseq(args.list1, args.list2, args.ref, args.prefix, extra,
+                 workers=args.workers)
     return 0
 
 

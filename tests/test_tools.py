@@ -89,3 +89,45 @@ def test_smartseq_pipeline(tmp_path):
     assert len(lines) == 3
     # both cells should report the same dominant allele column
     assert "CYP2D6" in lines[0]
+
+
+def test_smartseq_workers_invariance(tmp_path):
+    """Cells are dispatched over a process pool; the merged matrix must
+    be identical at any worker count."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.reads import read_seq_file, write_fastq
+    from t1k_tpu.tools.simulate import SimConfig, simulate_pairs
+    from t1k_tpu.tools.smartseq import run_smartseq
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    l1, l2 = [], []
+    for ci, (alleles, seed) in enumerate(
+            [(["CYP2D6*1", "CYP2D6*4"], 101), (["CYP2D6*1"], 103),
+             (["CYP2D6*4"], 107)]):
+        r1, r2 = simulate_pairs([by_name[a] for a in alleles],
+                                [1.0] * len(alleles),
+                                SimConfig(n_pairs=120, seed=seed))
+        p1 = tmp_path / f"wcell{ci}.R1.fq"
+        p2 = tmp_path / f"wcell{ci}.R2.fq"
+        write_fastq(str(p1), r1)
+        write_fastq(str(p2), r2)
+        l1.append(str(p1))
+        l2.append(str(p2))
+    (tmp_path / "wlist1.txt").write_text("\n".join(l1) + "\n")
+    (tmp_path / "wlist2.txt").write_text("\n".join(l2) + "\n")
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        seq = run_smartseq("wlist1.txt", "wlist2.txt", CYP_RNA, "W1",
+                           workers=1)
+        par = run_smartseq("wlist1.txt", "wlist2.txt", CYP_RNA, "W2",
+                           workers=2)
+        with open(seq) as f:
+            a = f.read()
+        with open(par) as f:
+            b = f.read()
+    finally:
+        os.chdir(cwd)
+    assert a == b
