@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--barcodeRange", nargs=3, default=None,
                     metavar=("START", "END", "STRAND"))
     ap.add_argument("--barcodeWhitelist", default=None)
+    ap.add_argument("--UMI", dest="umi", default="",
+                    help="if -b: BAM tag carrying the UMI (run-t1k:230-234)")
     ap.add_argument("--read1Range", nargs=2, type=int, default=None)
     ap.add_argument("--read2Range", nargs=2, type=int, default=None)
     ap.add_argument("--mateIdSuffixLen", type=int, default=0)
@@ -148,7 +150,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 args.bam, args.coord, args.coord, f"{prefix}_candidate",
                 abnormal_unmap_flag=args.abnormalUnmapFlag,
                 mate_id_len=args.mateIdSuffixLen if args.mateIdSuffixLen else -1,
-                bc_field=args.barcode[0] if args.barcode else "")
+                bc_field=args.barcode[0] if args.barcode else "",
+                umi_field=args.umi)
         else:
             log("Start to extract candidate reads from read files.")
             run_extractor(

@@ -202,3 +202,65 @@ def test_missing_qual_records_emit_space_quals(tmp_path):
     assert lines[1] == seq
     assert lines[2] == "+"
     assert lines[3] == " " * len(seq)
+
+
+def test_run_driver_umi_routing(tmp_path):
+    """`run --UMI TAG` routes to the BAM extraction path like the
+    reference driver (run-t1k:230-234, bam-extractor only): candidate
+    UMIs land in <prefix>_candidate_umi.fa, one per candidate read,
+    in candidate order.  Byte-compared vs the reference bam-extractor
+    on a mapped+unmapped tagged BAM (verify session 2026-08-18)."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.cli.run import main
+    from t1k_tpu.constants import revcomp_str
+    from t1k_tpu.io.bam import BamRecord, BamWriter
+    from t1k_tpu.io.reads import read_seq_file
+    from t1k_tpu.tools.simulate import SimConfig, simulate_pairs
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    r1, r2 = simulate_pairs([by_name["CYP2D6*1"], by_name["CYP2D6*4"]],
+                            [1.0, 0.8], SimConfig(n_pairs=70, seed=11))
+    recs, unmapped = [], []
+    umi_of = {}
+    for i in range(40):
+        tags = {"CB": f"CELL{i % 3:02d}", "UB": f"UMI{i:04d}"}
+        umi_of[r1[i].id] = tags["UB"]
+        p1 = 10050 + i * 20
+        recs.append(BamRecord(r1[i].id, 0x63, 0, p1, 60, [(100, 0)], 0,
+                              p1 + 150, 250, r1[i].seq, r1[i].qual,
+                              dict(tags)))
+        recs.append(BamRecord(r1[i].id, 0x93, 0, p1 + 150, 60, [(100, 0)],
+                              0, p1, -250, revcomp_str(r2[i].seq),
+                              r2[i].qual[::-1], dict(tags)))
+    for i in range(40, 70):
+        tags = {"CB": f"CELL{i % 3:02d}", "UB": f"UMI{i:04d}"}
+        umi_of[r1[i].id] = tags["UB"]
+        unmapped.append(BamRecord(r1[i].id, 0x4D, -1, -1, 0, [], -1, -1, 0,
+                                  r1[i].seq, r1[i].qual, dict(tags)))
+        unmapped.append(BamRecord(r1[i].id, 0x8D, -1, -1, 0, [], -1, -1, 0,
+                                  r2[i].seq, r2[i].qual, dict(tags)))
+    recs.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "umi.bam")
+    w = BamWriter(bam, ["chr22"], [1000000], "@HD\tVN:1.6\tSO:coordinate\n")
+    for r in recs + unmapped:
+        w.write(r)
+    w.close()
+    coord = str(tmp_path / "coord.fa")
+    with open(coord, "w") as f:
+        for a in ("CYP2D6*1", "CYP2D6*4"):
+            f.write(f">{a} chr22 10000 11500 +\n{by_name[a].seq}\n")
+
+    outdir = str(tmp_path / "out")
+    rc = main(["-f", coord, "-b", bam, "-c", coord,
+               "--barcode", "CB", "--UMI", "UB",
+               "--od", outdir, "-o", "u", "--skipPostAnalysis"])
+    assert rc == 0
+    with open(os.path.join(outdir, "u_candidate_umi.fa")) as f:
+        lines = f.read().splitlines()
+    with open(os.path.join(outdir, "u_candidate_1.fq")) as f:
+        cand_names = f.read().splitlines()[::4]
+    assert len(lines) == 2 * len(cand_names) and len(cand_names) == 70
+    for k, name_line in enumerate(cand_names):
+        assert lines[2 * k] == ">" + name_line[1:]
+        assert lines[2 * k + 1] == umi_of[name_line[1:]]
