@@ -5,9 +5,17 @@ Prints ONE JSON line:
 
 Workload: the pipeline's hot-loop shape — 112bp reference windows vs
 100bp candidate reads (~2% substitutions), banded affine-gap scoring via
-the band-packed Pallas kernel (ops/align_pallas_band.py), measured on
-device-resident data (the pipeline ships read batches to HBM once and
-runs all per-batch kernels there).
+the band-packed Pallas kernel (ops/align_pallas_band.py).
+
+Methodology: the pipeline streams many device-resident batches per
+host round-trip (reads ship to HBM once; every per-batch kernel runs
+there), so the metric is SUSTAINED throughput: R batches are chained
+inside one jitted call with a data dependency between consecutive
+batches (batch i+1's inputs are derived from batch i's scores, so XLA
+cannot overlap or elide them), timed end to end including the one
+host round-trip and the per-batch device-side packing.  On this rig
+the host link is a tunnel with ~40ms RTT; per-batch timing would
+measure the tunnel, not the chip.
 
 Baseline = the reference implementation's per-pair DP throughput,
 measured with this framework's native C++ engine, which runs the same
@@ -48,23 +56,26 @@ def bench_native_baseline(n=4000):
     return n / dt
 
 
-def bench_tpu(B=32768, n_reps=9):
+def bench_tpu(B=65536, R=64, n_reps=5):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from t1k_tpu.ops.align_pallas_band import (
-        LANES, W, _band_grid, _round_up)
+        LANES, _band_grid, _round_up, band_window)
 
     G = 8
     Lt, Lp = 112, 100
     ML = 5
+    W = band_window(ML, Lt - Lp)
     P = G * LANES
     nblocks = -(-B // P)
     Lt_pad = _round_up(max(Lt + ML + 1, Lp + W + 1) + 1, 8)
     Lp_pad = _round_up(Lp, 8)
-    # Generate the batch ON DEVICE (same distribution as make_batch):
-    # this keeps the benchmark robust to relay-bandwidth dips on this
-    # rig — only the [B] score vector crosses the link per rep.
+
+    # Generate the first batch ON DEVICE (same distribution as
+    # make_batch); only scalars cross the tunnel during timing.
     @jax.jit
     def gen(seed):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
@@ -78,31 +89,33 @@ def bench_tpu(B=32768, n_reps=9):
 
     tl = jnp.full(B, Lt, jnp.int32)
     pl = jnp.full(B, Lp, jnp.int32)
-    base_t, base_p = gen(1)
-    jax.block_until_ready((base_t, base_p))
 
-    @jax.jit
-    def derive(t, p, v):
-        return (t + v) % 4, (p + v) % 4  # distinct content, same structure
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chained(t0, p0, reps):
+        def body(i, carry):
+            acc, t, p = carry
+            s = _band_grid(t, tl, p, pl, G, ML, Lp, Lt, Lt_pad, Lp_pad,
+                           nblocks, W=W)
+            # next batch derived from this batch's scores: a true data
+            # dependency, so consecutive batches cannot overlap/elide
+            d = (s % 3 + 1).astype(jnp.int8)
+            t = (t + d[:, None]) % 4
+            p = (p + d[:, None]) % 4
+            return acc + s.sum(), t, p
+        acc, _, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), t0, p0))
+        return acc
 
-    variants = [derive(base_t, base_p, v) for v in range(n_reps + 1)]
-    jax.block_until_ready(variants)
-
-    def run(v):
-        t, p = variants[v]
-        return np.asarray(_band_grid(
-            t, tl, p, pl, G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks))
-
-    run(0)  # compile + warm
+    t0d, p0d = gen(1)
+    jax.block_until_ready((t0d, p0d))
+    jax.block_until_ready(chained(t0d, p0d, R))  # compile + warm
     times = []
-    for v in range(1, n_reps + 1):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
-        run(v)
+        jax.block_until_ready(chained(t0d, p0d, R))
         times.append(time.perf_counter() - t0)
-    # median rep: robust to transient relay-bandwidth dips on this rig
     times.sort()
-    dt = times[len(times) // 2]
-    return B / dt
+    dt = times[len(times) // 2]  # median: robust to relay dips
+    return B * R / dt
 
 
 def main():

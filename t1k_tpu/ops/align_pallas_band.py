@@ -35,7 +35,7 @@ GO = -4
 GE = -1
 NEG_INF = -(1 << 24)
 
-W = 32           # band window width (sublanes per pair)
+W = 32           # default band window width (sublanes per pair)
 LANES = 128      # pairs per slab
 
 # Packed traceback-stat counters: match in bits 0-8, mismatch in 9-17,
@@ -47,7 +47,7 @@ IU = 1 << 18
 
 
 def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
-                 *, G, Lp, ML, stats=False):
+                 *, G, Lp, ML, stats=False, W=W):
     S = G * W
     w_local = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0) % W
 
@@ -213,12 +213,13 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("G", "ML", "Lp", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("G", "ML", "Lp", "interpret", "W"))
 def _band_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
-               interpret: bool = False):
+               interpret: bool = False, W: int = W):
     """Single-block call ([G, ...] inputs) — used by tests."""
     return pl.pallas_call(
-        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML),
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, W=W),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, LANES), jnp.int32),
@@ -226,12 +227,13 @@ def _band_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
     )(tl, plen, t_pad, p_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "ML", "Lp", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("G", "ML", "Lp", "interpret", "W"))
 def _band_stats_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
-                     interpret: bool = False):
+                     interpret: bool = False, W: int = W):
     """Single-block scores+stats call — used by tests."""
     return pl.pallas_call(
-        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=True),
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=True, W=W),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((G, LANES), jnp.int32)] * 2,
@@ -242,10 +244,10 @@ def _band_stats_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
 @functools.partial(
     jax.jit,
     static_argnames=("G", "ML", "Lp", "Lt", "Lt_pad", "Lp_pad", "nblocks",
-                     "stats", "interpret"))
+                     "stats", "interpret", "W"))
 def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
                Lt: int, Lt_pad: int, Lp_pad: int, nblocks: int,
-               stats: bool = False, interpret: bool = False):
+               stats: bool = False, interpret: bool = False, W: int = W):
     """Whole-batch path: packs/transposes on device and runs one
     pallas_call with a grid over pair blocks."""
     P = G * LANES
@@ -268,7 +270,7 @@ def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nblocks * G, LANES), jnp.int32)
     out = pl.pallas_call(
-        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=stats),
+        functools.partial(_band_kernel, G=G, Lp=Lp, ML=ML, stats=stats, W=W),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((G, 1, LANES), lambda i: (i, 0, 0),
@@ -303,10 +305,20 @@ def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
     return scores, packed
 
 
+def band_window(ml: int, max_tp_diff: int, cap: int = 256) -> int:
+    """Smallest window width (multiple of 8) covering the full band:
+    the in-band region reaches w = ML + 5 + (t_len - p_len) mid-row, so
+    every band cell is represented iff W > that for every pair."""
+    need = ml + 5 + max(max_tp_diff, 0) + 1
+    w = _round_up(max(need, 8), 8)
+    assert w <= cap, "band exceeds the maximum window; use the v1 kernel"
+    return w
+
+
 def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
                        interpret: bool = False):
-    """Band-packed scores; requires the length difference to fit the
-    window: -ML <= t_len - p_len <= W-1-ML for every pair."""
+    """Band-packed scores; the window width adapts to the batch's
+    maximum length difference (narrower window = fewer live sublanes)."""
     t_codes = np.asarray(t_codes)
     p_codes = np.asarray(p_codes)
     t_lens = np.asarray(t_lens, np.int32)
@@ -314,30 +326,28 @@ def banded_scores_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     B, Lt = t_codes.shape
     Lp = int(p_codes.shape[1])
     ML = 5 + max(0, int((p_lens - t_lens).max(initial=0)))
-    assert ML + int((t_lens - p_lens).max(initial=0)) < W, \
-        "length difference exceeds band window; use the v1 kernel"
+    Wd = band_window(ML, int((t_lens - p_lens).max(initial=0)))
 
     P = G * LANES
     lead = ML + 1
-    Lt_pad = _round_up(max(Lt + lead, Lp + W + 1) + 1, 8)
+    Lt_pad = _round_up(max(Lt + lead, Lp + Wd + 1) + 1, 8)
     Lp_pad = _round_up(max(Lp, 8), 8)
     nblocks = -(-B // P)
     return np.asarray(_band_grid(
         jnp.asarray(t_codes), jnp.asarray(t_lens), jnp.asarray(p_codes),
         jnp.asarray(p_lens), G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks,
-        interpret=interpret))
+        interpret=interpret, W=Wd))
 
 
 def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
-                      ml: int = None, interpret: bool = False):
+                      ml: int = None, w: int = None,
+                      interpret: bool = False):
     """Scores plus match/mismatch/indel counts along the optimal
     traceback, computed by forward count propagation with the walk's
     exact tie-break rules (engine.cc BandedGlobalAlignStats) — no
     direction bits, no traceback pass.  Returns
     (scores, match, mismatch, indel) int32 arrays of shape [B].
-
-    Requires the band to fit the window on BOTH sides:
-    every pair's  5 + (t_len - p_len)  must stay below W - ML."""
+    The window width adapts to ML and the maximum length difference."""
     t_codes = np.asarray(t_codes)
     p_codes = np.asarray(p_codes)
     t_lens = np.asarray(t_lens, np.int32)
@@ -347,19 +357,20 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     ML = (ml if ml is not None
           else 5 + max(0, int((p_lens - t_lens).max(initial=0))))
     assert ML >= 5 + max(0, int((p_lens - t_lens).max(initial=0)))
-    assert ML + 5 + int((t_lens - p_lens).max(initial=0)) < W, \
-        "band exceeds window; use the v1 kernel"
+    Wd = w if w is not None else band_window(
+        ML, int((t_lens - p_lens).max(initial=0)))
+    assert Wd >= band_window(ML, int((t_lens - p_lens).max(initial=0)))
     assert Lt + Lp + 2 < 512, "packed count fields overflow beyond 511 ops"
 
     P = G * LANES
     lead = ML + 1
-    Lt_pad = _round_up(max(Lt + lead, Lp + W + 1) + 1, 8)
+    Lt_pad = _round_up(max(Lt + lead, Lp + Wd + 1) + 1, 8)
     Lp_pad = _round_up(max(Lp, 8), 8)
     nblocks = -(-B // P)
     scores, packed = _band_grid(
         jnp.asarray(t_codes), jnp.asarray(t_lens), jnp.asarray(p_codes),
         jnp.asarray(p_lens), G, ML, Lp, Lt, Lt_pad, Lp_pad, nblocks,
-        stats=True, interpret=interpret)
+        stats=True, interpret=interpret, W=Wd)
     packed = np.asarray(packed)
     return (np.asarray(scores), packed & 511, (packed >> 9) & 511,
             (packed >> 18) & 511)
@@ -368,10 +379,11 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
 # Length buckets for the deferred-DP stats service: padding item batches
 # to a small set of static shapes keeps XLA recompiles bounded.
 _LEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192)
-# The engine only defers items with |t_len - p_len| <= 10
-# (engine.cc kDeferMaxDiff), so a fixed ML of 15 always covers the band
-# and the right edge stays inside the window: 15 + 5 + 10 == 30 < 32.
-_DEFER_ML = 15
+# Length-difference buckets: ML (and with it the window width) adapts
+# to the batch's actual diffs instead of assuming the engine's maximum
+# (kDeferMaxDiff=10, engine.cc) — most gap-fill items have tiny diffs,
+# and a narrower window means fewer live sublanes per pair.
+_DIFF_BUCKETS = (0, 2, 6, 10)
 
 
 def _bucket(n: int) -> int:
@@ -379,6 +391,13 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     return _round_up(n, 64)
+
+
+def _diff_bucket(d: int) -> int:
+    for b in _DIFF_BUCKETS:
+        if d <= b:
+            return b
+    return d
 
 
 def make_deferred_stats_fn(G: int = 8, interpret: bool = False):
@@ -389,11 +408,16 @@ def make_deferred_stats_fn(G: int = 8, interpret: bool = False):
     def stats_fn(t_codes, t_lens, p_codes, p_lens):
         t_codes = np.asarray(t_codes, np.int8)
         p_codes = np.asarray(p_codes, np.int8)
+        t_lens = np.asarray(t_lens, np.int32)
+        p_lens = np.asarray(p_lens, np.int32)
         n = t_codes.shape[0]
         if n == 0:
             return np.zeros(0, np.int32)
         lt = _bucket(t_codes.shape[1])
         lp = _bucket(p_codes.shape[1])
+        ml = 5 + _diff_bucket(int((p_lens - t_lens).max(initial=0)))
+        wd = band_window(ml, _diff_bucket(int((t_lens - p_lens)
+                                              .max(initial=0))))
         nb = 1
         while nb * G * LANES < n:
             nb *= 2
@@ -406,8 +430,8 @@ def make_deferred_stats_fn(G: int = 8, interpret: bool = False):
         pl = np.zeros(cap, np.int32)
         tl[:n] = t_lens
         pl[:n] = p_lens
-        _, match, _, _ = banded_stats_band(tc, tl, pc, pl, G=G, ml=_DEFER_ML,
-                                           interpret=interpret)
+        _, match, _, _ = banded_stats_band(tc, tl, pc, pl, G=G, ml=ml,
+                                           w=wd, interpret=interpret)
         return match[:n].astype(np.int32)
 
     return stats_fn

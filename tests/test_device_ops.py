@@ -220,3 +220,33 @@ def test_band_pallas_stats_matches_walk():
                 int(((ops == 2) | (ops == 3)).sum()))
         assert int(scores[i]) == s_ref, i
         assert (int(ma[i]), int(mi[i]), int(ind[i])) == want, i
+
+
+def test_band_window_adapts_to_length_difference():
+    """The window width tracks the batch's band extent: every band cell
+    (w up to ML + 5 + (t_len - p_len), SeqSet band widening at
+    AlignAlgo.hpp:240) must be representable.  Narrow batches (equal
+    lengths -> W=16) and wide ones (diff 25 -> W=40) both match the
+    native oracle exactly."""
+    from t1k_tpu.native import align_global
+    from t1k_tpu.ops.align_pallas_band import band_window, banded_scores_band
+
+    assert band_window(5, 0) == 16
+    assert band_window(5, 12) == 24
+    assert band_window(15, 10) == 32
+    assert band_window(5, 25) == 40
+
+    rng = np.random.default_rng(23)
+    for diff in (0, 25):
+        B = 32
+        lenp = 60
+        lent = lenp + diff
+        tc = rng.integers(0, 4, (B, lent)).astype(np.int8)
+        pc = tc[:, :lenp].copy()
+        mut = rng.random((B, lenp)) < 0.05
+        pc[mut] = rng.integers(0, 4, int(mut.sum())).astype(np.int8)
+        tl = np.full(B, lent, np.int32)
+        pl = np.full(B, lenp, np.int32)
+        got = banded_scores_band(tc, tl, pc, pl, G=1, interpret=True)
+        want = np.array([align_global(tc[i], pc[i])[0] for i in range(B)])
+        assert (np.asarray(got) == want).all(), f"diff={diff}"
