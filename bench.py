@@ -108,10 +108,15 @@ def bench_tpu(B=65536, R=64, n_reps=5):
     t0d, p0d = gen(1)
     jax.block_until_ready((t0d, p0d))
     jax.block_until_ready(chained(t0d, p0d, R))  # compile + warm
+    # every timed rep gets a DISTINCT input batch and fetches the
+    # scalar checksum: repeated identical calls can be served from a
+    # relay-side cache on this rig and time as pure RTT
+    variants = [gen(seed) for seed in range(2, 2 + n_reps)]
+    jax.block_until_ready(variants)
     times = []
-    for _ in range(n_reps):
+    for t0d, p0d in variants:
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(t0d, p0d, R))
+        int(chained(t0d, p0d, R))
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]  # median: robust to relay dips

@@ -29,15 +29,47 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--barcodeWhitelist", default=None)
     ap.add_argument("--read1Range", nargs=2, type=int, default=None)
     ap.add_argument("--read2Range", nargs=2, type=int, default=None)
+    # split-flag aliases matching the reference binary's own getopt
+    # table (FastqExtractor.cpp:35-47) for drop-in invocations
+    ap.add_argument("--barcodeStart", type=int, default=None)
+    ap.add_argument("--barcodeEnd", type=int, default=None)
+    ap.add_argument("--barcodeRevComp", action="store_true")
+    ap.add_argument("--read1Start", type=int, default=None)
+    ap.add_argument("--read1End", type=int, default=None)
+    ap.add_argument("--read2Start", type=int, default=None)
+    ap.add_argument("--read2End", type=int, default=None)
     ap.add_argument("--backend", default="native",
                     choices=["native", "tpu"])
     return ap
 
 
+_INT_FLAGS = {"--barcodeStart", "--barcodeEnd", "--read1Start",
+              "--read1End", "--read2Start", "--read2End"}
+
+
+def _merge_negative_ints(argv: List[str]) -> List[str]:
+    """`--read2End -1` -> `--read2End=-1`: argparse would otherwise
+    read `-1` as the option of that name (the reference's sentinel for
+    read length - 1, FastqExtractor.cpp:35-47)."""
+    out, i = [], 0
+    while i < len(argv):
+        a = argv[i]
+        if (a in _INT_FLAGS and i + 1 < len(argv)
+                and argv[i + 1].lstrip("-").isdigit()):
+            out.append(a + "=" + argv[i + 1])
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     from ..core.extractor import ExtractorOptions, run_extractor
 
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = build_parser().parse_args(_merge_negative_ints(list(argv)))
     opts = ExtractorOptions(ref_seq_similarity=args.similarity,
                             threads=args.threads, backend=args.backend)
     if args.barcode:
@@ -52,6 +84,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         opts.read1_start, opts.read1_end = args.read1Range
     if args.read2Range:
         opts.read2_start, opts.read2_end = args.read2Range
+    for attr, val in (("barcode_start", args.barcodeStart),
+                      ("barcode_end", args.barcodeEnd),
+                      ("read1_start", args.read1Start),
+                      ("read1_end", args.read1End),
+                      ("read2_start", args.read2Start),
+                      ("read2_end", args.read2End)):
+        if val is not None:
+            setattr(opts, attr, val)
+    if args.barcodeRevComp:
+        opts.barcode_revcomp = True
 
     if args.interleaved:
         stats = run_extractor(args.ref, args.interleaved, None, args.prefix,

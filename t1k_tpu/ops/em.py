@@ -29,12 +29,32 @@ def _segment_sum(data, seg, n):
     return jax.ops.segment_sum(data, seg, num_segments=n)
 
 
+def segment_bounds(seg_sorted: np.ndarray, n: int):
+    """(starts, ends) of each segment id in a SORTED segment array —
+    host precompute for the scatter-free device segment sum."""
+    ids = np.arange(n + 1)
+    b = np.searchsorted(seg_sorted, ids).astype(np.int32)
+    return b[:-1], b[1:]
+
+
+def sorted_segment_sum(vals, starts, ends):
+    """Segment sums of `vals` whose segment ids are sorted, via
+    prefix-sum differences: gathers and a log-depth cumsum only.  TPU
+    scatters serialize (jax.ops.segment_sum lowers to scatter-add), so
+    the EM hot loop must avoid them; cumsum is a parallel prefix with
+    O(log n · eps) rounding, comparable to a tree reduction."""
+    c = jnp.cumsum(vals)
+    c = jnp.concatenate([jnp.zeros((1,), vals.dtype), c])
+    return c[ends] - c[starts]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ec_cnt", "rg_cnt", "gene_cnt", "major_cnt",
                      "max_iterations", "mask_round"))
 def _em_loop(
-    seg_rg, seg_ec, rg_counts, ec_len, ec_size, ec_first_allele,
+    seg_rg, seg_ec, rg_counts, ec_perm, rg_starts, rg_ends, ecs_starts,
+    ecs_ends, ec_len, ec_size, ec_first_allele,
     allele_ec, allele_valid, allele_gene, allele_major, init_x,
     filter_frac, min_squarem_alpha,
     ec_cnt: int, rg_cnt: int, gene_cnt: int, major_cnt: int,
@@ -43,11 +63,14 @@ def _em_loop(
     dtype = init_x.dtype
 
     def em_update(x):
+        # scatter-free E/M steps: seg_rg is sorted by construction and
+        # ec_perm pre-sorts the incidences by EC, so both segment sums
+        # are prefix-sum differences (sorted_segment_sum)
         vals = x[seg_ec]
-        psum = _segment_sum(vals, seg_rg, rg_cnt)
+        psum = sorted_segment_sum(vals, rg_starts, rg_ends)
         psum = jnp.where(psum == 0, 1, psum)
         contrib = rg_counts * vals / psum[seg_rg]
-        count = _segment_sum(contrib, seg_ec, ec_cnt)
+        count = sorted_segment_sum(contrib[ec_perm], ecs_starts, ecs_ends)
         per_len = count / ec_len
         norm = per_len.sum()
         x1 = per_len / norm
@@ -129,6 +152,9 @@ def em_quantify_jax(
     seg_rg = np.repeat(np.arange(rg_cnt), np.diff(rg_off)).astype(np.int32)
     seg_ec = np.asarray(rg_ecs, dtype=np.int32)
     rg_counts_flat = np.asarray(rg_counts, dtype=np.float64)[seg_rg]
+    ec_perm = np.argsort(seg_ec, kind="stable").astype(np.int32)
+    rg_starts, rg_ends = segment_bounds(seg_rg, rg_cnt)
+    ecs_starts, ecs_ends = segment_bounds(seg_ec[ec_perm], ec_cnt)
 
     ec_len = np.array(
         [min(int(allele_eff_len[a]) for a in alleles) for alleles in ec_to_alleles],
@@ -150,6 +176,8 @@ def em_quantify_jax(
     count, iters = _em_loop(
         jnp.asarray(seg_rg), jnp.asarray(seg_ec),
         jnp.asarray(rg_counts_flat, dtype),
+        jnp.asarray(ec_perm), jnp.asarray(rg_starts), jnp.asarray(rg_ends),
+        jnp.asarray(ecs_starts), jnp.asarray(ecs_ends),
         jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
         jnp.asarray(ec_first), jnp.asarray(allele_ec),
         jnp.asarray(allele_valid), jnp.asarray(allele_gene, jnp.int32),

@@ -52,12 +52,18 @@ def sharded_em_step(mesh: Mesh, axis: str = "dp"):
     the per-EC count reduction is a psum.
     """
 
-    def step(x, seg_rg, seg_ec, counts, rg_cnt, ec_len):
+    from ..ops.em import sorted_segment_sum
+
+    def step(x, seg_rg, seg_ec, ec_perm, rg_starts, rg_ends, ecs_starts,
+             ecs_ends, counts, ec_len):
+        # scatter-free segment sums (see ops/em.py): the shard's
+        # incidences are sorted by read group, and ec_perm pre-sorts
+        # them by EC — TPU scatters would serialize the hot loop
         vals = x[seg_ec]
-        psum = jax.ops.segment_sum(vals, seg_rg, num_segments=rg_cnt)
+        psum = sorted_segment_sum(vals, rg_starts, rg_ends)
         psum = jnp.where(psum == 0, 1, psum)
         contrib = counts * vals / psum[seg_rg]
-        local = jax.ops.segment_sum(contrib, seg_ec, num_segments=x.shape[0])
+        local = sorted_segment_sum(contrib[ec_perm], ecs_starts, ecs_ends)
         count = jax.lax.psum(local, axis)
         per_len = count / ec_len
         x1 = per_len / per_len.sum()
@@ -67,10 +73,15 @@ def sharded_em_step(mesh: Mesh, axis: str = "dp"):
 
 
 def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
-                          counts: np.ndarray, rg_cnt: int, n_shards: int):
+                          counts: np.ndarray, rg_cnt: int, n_shards: int,
+                          ec_cnt: Optional[int] = None):
     """Split incidence arrays into n_shards with whole read groups per
     shard, padded to equal length (padding points at a dummy group whose
-    abundance contribution is zero)."""
+    abundance contribution is zero).  When ec_cnt is given, also emits
+    the per-shard EC sort permutation and the per-shard segment bounds
+    needed by the scatter-free device step (ops/em.py)."""
+    from ..ops.em import segment_bounds
+
     order = np.argsort(seg_rg, kind="stable")
     seg_rg, seg_ec, counts = seg_rg[order], seg_ec[order], counts[order]
     bounds = np.searchsorted(
@@ -85,7 +96,22 @@ def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
         out_rg[s, :len(p)] = seg_rg[p]
         out_ec[s, :len(p)] = seg_ec[p]
         out_ct[s, :len(p)] = counts[p]
-    return out_rg, out_ec, out_ct
+    if ec_cnt is None:
+        return out_rg, out_ec, out_ct
+    out_perm = np.zeros((n_shards, max_len), np.int32)
+    out_rgs = np.zeros((n_shards, rg_cnt + 1), np.int32)
+    out_rge = np.zeros((n_shards, rg_cnt + 1), np.int32)
+    out_ecs = np.zeros((n_shards, ec_cnt), np.int32)
+    out_ece = np.zeros((n_shards, ec_cnt), np.int32)
+    for s in range(n_shards):
+        # padding entries carry count 0, so wherever the sorts place
+        # them their prefix-sum contribution is zero
+        perm = np.argsort(out_ec[s], kind="stable").astype(np.int32)
+        out_perm[s] = perm
+        out_rgs[s], out_rge[s] = segment_bounds(out_rg[s], rg_cnt + 1)
+        out_ecs[s], out_ece[s] = segment_bounds(out_ec[s][perm], ec_cnt)
+    return (out_rg, out_ec, out_ct, out_perm, out_rgs, out_rge,
+            out_ecs, out_ece)
 
 
 def em_quantify_sharded(
@@ -103,7 +129,9 @@ def em_quantify_sharded(
     dry-run and scaling benchmarks; the single-chip SQUAREM variant lives
     in ops/em.py."""
     n = mesh.devices.size
-    srg, sec, sct = partition_read_groups(seg_rg, seg_ec, counts, rg_cnt, n)
+    ec_cnt = len(init_x)
+    (srg, sec, sct, sperm, srgs, srge, secs, sece) = partition_read_groups(
+        seg_rg, seg_ec, counts, rg_cnt, n, ec_cnt=ec_cnt)
     dtype = jnp.float32
     step = sharded_em_step(mesh, axis)
 
@@ -113,22 +141,27 @@ def em_quantify_sharded(
     # dwarfed by the E-step work).
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P()),
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def run_step(x, srg_s, sec_s, sct_s, ec_len_r):
+    def run_step(x, srg_s, sec_s, sct_s, perm_s, rgs_s, rge_s, ecs_s,
+                 ece_s, ec_len_r):
         x1, _ = step(x, srg_s.reshape(-1), sec_s.reshape(-1),
-                     sct_s.reshape(-1), rg_cnt + 1, ec_len_r)
+                     perm_s.reshape(-1), rgs_s.reshape(-1),
+                     rge_s.reshape(-1), ecs_s.reshape(-1),
+                     ece_s.reshape(-1), sct_s.reshape(-1), ec_len_r)
         return x1
 
     run_step = jax.jit(run_step, donate_argnums=(0,))
     x = jnp.asarray(init_x, dtype)
     x = x / x.sum()
-    srg_d = jnp.asarray(srg)
-    sec_d = jnp.asarray(sec)
-    sct_d = jnp.asarray(sct, dtype)
+    args = tuple(jnp.asarray(a) for a in
+                 (srg, sec, sct.astype(np.float32), sperm, srgs, srge,
+                  secs, sece))
     ec_len_d = jnp.asarray(ec_len, dtype)
     for _ in range(iterations):
-        x = run_step(x, srg_d, sec_d, sct_d, ec_len_d)
+        x = run_step(x, *args, ec_len_d)
     return np.asarray(x)
