@@ -29,6 +29,10 @@ def _segment_sum(data, seg, n):
     return jax.ops.segment_sum(data, seg, num_segments=n)
 
 
+# Largest rg_cnt x ec_cnt for the dense-incidence EM path (f32 ~256MB).
+DENSE_EM_MAX_ELEMS = 64_000_000
+
+
 def segment_bounds(seg_sorted: np.ndarray, n: int):
     """(starts, ends) of each segment id in a SORTED segment array —
     host precompute for the scatter-free device segment sum."""
@@ -53,8 +57,8 @@ def sorted_segment_sum(vals, starts, ends):
     static_argnames=("ec_cnt", "rg_cnt", "gene_cnt", "major_cnt",
                      "max_iterations", "mask_round"))
 def _em_loop(
-    seg_rg, seg_ec, rg_counts, ec_perm, rg_starts, rg_ends, ecs_starts,
-    ecs_ends, ec_len, ec_size, ec_first_allele,
+    seg_ec, sec_sorted, srg_ecorder, cts_ecorder, rg_starts, rg_ends,
+    ecs_starts, ecs_ends, ec_len, ec_size, ec_first_allele,
     allele_ec, allele_valid, allele_gene, allele_major, init_x,
     filter_frac, min_squarem_alpha,
     ec_cnt: int, rg_cnt: int, gene_cnt: int, major_cnt: int,
@@ -63,14 +67,18 @@ def _em_loop(
     dtype = init_x.dtype
 
     def em_update(x):
-        # scatter-free E/M steps: seg_rg is sorted by construction and
-        # ec_perm pre-sorts the incidences by EC, so both segment sums
-        # are prefix-sum differences (sorted_segment_sum)
-        vals = x[seg_ec]
-        psum = sorted_segment_sum(vals, rg_starts, rg_ends)
+        # Scatter-free, permutation-free E/M steps.  The incidence list
+        # exists in two precomputed orders: read-group order (for the
+        # per-group normalizer) and EC order (for the count reduction).
+        # Both segment sums are prefix-sum differences over their
+        # sorted order, and the only large gather reads the [rg_cnt]
+        # psum table — gathers from big->big permutations and scatters
+        # both serialize on TPU (measured 12-16ms per 1.6M elements vs
+        # ~0.4ms for a table gather).
+        psum = sorted_segment_sum(x[seg_ec], rg_starts, rg_ends)
         psum = jnp.where(psum == 0, 1, psum)
-        contrib = rg_counts * vals / psum[seg_rg]
-        count = sorted_segment_sum(contrib[ec_perm], ecs_starts, ecs_ends)
+        contrib = cts_ecorder * x[sec_sorted] / psum[srg_ecorder]
+        count = sorted_segment_sum(contrib, ecs_starts, ecs_ends)
         per_len = count / ec_len
         norm = per_len.sum()
         x1 = per_len / norm
@@ -89,6 +97,16 @@ def _em_loop(
         masked = per_allele_major < filter_frac * 0.5 * gene_max[allele_gene]
         first_masked = masked[ec_first_allele]
         return jnp.where(first_masked, 0.0, ec_abund)
+
+    return _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
+                          ec_cnt, max_iterations, mask_round, dtype)
+
+
+def _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
+                   ec_cnt, max_iterations, mask_round, dtype):
+    """Shared SQUAREM driver (Genotyper.hpp:1234-1314): 3 EM updates +
+    extrapolation per round, convergence with one forced extra round,
+    and the every-mask_round abundance mask."""
 
     def body(state):
         t, x0, count, iters = state
@@ -124,6 +142,50 @@ def _em_loop(
     return count, iters
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ec_cnt", "gene_cnt", "major_cnt", "max_iterations",
+                     "mask_round"))
+def _em_loop_dense(
+    A, cts_rg, ec_len, ec_size, ec_first_allele,
+    allele_ec, allele_valid, allele_gene, allele_major, init_x,
+    filter_frac, min_squarem_alpha,
+    ec_cnt: int, gene_cnt: int, major_cnt: int,
+    max_iterations: int, mask_round: int,
+):
+    """Dense-incidence EM: A is the 0/1 [rg_cnt, ec_cnt] matrix.  The
+    E-step is two dense matvecs (bandwidth-bound streaming of A, no
+    gathers or scatters — both serialize on TPU); used whenever A fits
+    comfortably in HBM, which covers every single-sample workload."""
+    dtype = init_x.dtype
+
+    def em_update(x):
+        psum = A @ x
+        psum = jnp.where(psum == 0, 1, psum)
+        count = x * ((cts_rg / psum) @ A)
+        per_len = count / ec_len
+        norm = per_len.sum()
+        x1 = per_len / norm
+        diff = jnp.abs(x1 - x).sum()
+        return x1, count, diff
+
+    def mask_reset(count):
+        ec_abund = count / ec_len * 1000.0
+        allele_abund = jnp.where(
+            allele_valid, ec_abund[allele_ec] / ec_size[allele_ec], 0)
+        major_abund = _segment_sum(allele_abund, allele_major, major_cnt)
+        per_allele_major = major_abund[allele_major]
+        gene_max = jax.ops.segment_max(
+            jnp.where(allele_valid, per_allele_major, 0), allele_gene,
+            num_segments=gene_cnt)
+        masked = per_allele_major < filter_frac * 0.5 * gene_max[allele_gene]
+        first_masked = masked[ec_first_allele]
+        return jnp.where(first_masked, 0.0, ec_abund)
+
+    return _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
+                          ec_cnt, max_iterations, mask_round, dtype)
+
+
 def em_quantify_jax(
     ec_to_alleles: List[List[int]],
     rg_ecs_csr: Tuple[np.ndarray, np.ndarray],
@@ -153,8 +215,11 @@ def em_quantify_jax(
     seg_ec = np.asarray(rg_ecs, dtype=np.int32)
     rg_counts_flat = np.asarray(rg_counts, dtype=np.float64)[seg_rg]
     ec_perm = np.argsort(seg_ec, kind="stable").astype(np.int32)
+    sec_sorted = seg_ec[ec_perm]
+    srg_ecorder = seg_rg[ec_perm]
+    cts_ecorder = rg_counts_flat[ec_perm]
     rg_starts, rg_ends = segment_bounds(seg_rg, rg_cnt)
-    ecs_starts, ecs_ends = segment_bounds(seg_ec[ec_perm], ec_cnt)
+    ecs_starts, ecs_ends = segment_bounds(sec_sorted, ec_cnt)
 
     ec_len = np.array(
         [min(int(allele_eff_len[a]) for a in alleles) for alleles in ec_to_alleles],
@@ -173,10 +238,29 @@ def em_quantify_jax(
         [sum(int(allele_weight[a]) for a in alleles) for alleles in ec_to_alleles],
         dtype=np.float64)
 
+    # Dense fast path: when the [rg_cnt, ec_cnt] incidence matrix fits
+    # comfortably in HBM (f32 <= ~256MB), the E-step is two dense
+    # matvecs — no gathers/scatters, which serialize on TPU.  Covers
+    # every realistic single-sample workload; the segment path handles
+    # larger cohort-scale problems.
+    if rg_cnt * ec_cnt <= DENSE_EM_MAX_ELEMS:
+        A = np.zeros((rg_cnt, ec_cnt), np.float32)
+        np.add.at(A, (seg_rg, seg_ec), 1.0)
+        count, iters = _em_loop_dense(
+            jnp.asarray(A, dtype), jnp.asarray(rg_counts, dtype),
+            jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
+            jnp.asarray(ec_first), jnp.asarray(allele_ec),
+            jnp.asarray(allele_valid), jnp.asarray(allele_gene, jnp.int32),
+            jnp.asarray(allele_major, jnp.int32), jnp.asarray(init_x, dtype),
+            float(filter_frac), float(min_squarem_alpha),
+            ec_cnt, n_genes, n_majors, max_iterations, 10,
+        )
+        return int(iters), np.asarray(count, dtype=np.float64)
+
     count, iters = _em_loop(
-        jnp.asarray(seg_rg), jnp.asarray(seg_ec),
-        jnp.asarray(rg_counts_flat, dtype),
-        jnp.asarray(ec_perm), jnp.asarray(rg_starts), jnp.asarray(rg_ends),
+        jnp.asarray(seg_ec), jnp.asarray(sec_sorted),
+        jnp.asarray(srg_ecorder), jnp.asarray(cts_ecorder, dtype),
+        jnp.asarray(rg_starts), jnp.asarray(rg_ends),
         jnp.asarray(ecs_starts), jnp.asarray(ecs_ends),
         jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
         jnp.asarray(ec_first), jnp.asarray(allele_ec),

@@ -54,16 +54,16 @@ def sharded_em_step(mesh: Mesh, axis: str = "dp"):
 
     from ..ops.em import sorted_segment_sum
 
-    def step(x, seg_rg, seg_ec, ec_perm, rg_starts, rg_ends, ecs_starts,
-             ecs_ends, counts, ec_len):
-        # scatter-free segment sums (see ops/em.py): the shard's
-        # incidences are sorted by read group, and ec_perm pre-sorts
-        # them by EC — TPU scatters would serialize the hot loop
-        vals = x[seg_ec]
-        psum = sorted_segment_sum(vals, rg_starts, rg_ends)
+    def step(x, seg_ec, sec_sorted, srg_ecorder, cts_ecorder, rg_starts,
+             rg_ends, ecs_starts, ecs_ends, ec_len):
+        # scatter-free, permutation-free segment sums (see ops/em.py):
+        # the shard's incidence list is precomputed in read-group order
+        # AND in EC order; TPU scatters and big->big permutation
+        # gathers would serialize the hot loop
+        psum = sorted_segment_sum(x[seg_ec], rg_starts, rg_ends)
         psum = jnp.where(psum == 0, 1, psum)
-        contrib = counts * vals / psum[seg_rg]
-        local = sorted_segment_sum(contrib[ec_perm], ecs_starts, ecs_ends)
+        contrib = cts_ecorder * x[sec_sorted] / psum[srg_ecorder]
+        local = sorted_segment_sum(contrib, ecs_starts, ecs_ends)
         count = jax.lax.psum(local, axis)
         per_len = count / ec_len
         x1 = per_len / per_len.sum()
@@ -98,7 +98,9 @@ def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
         out_ct[s, :len(p)] = counts[p]
     if ec_cnt is None:
         return out_rg, out_ec, out_ct
-    out_perm = np.zeros((n_shards, max_len), np.int32)
+    out_secs = np.zeros((n_shards, max_len), np.int32)
+    out_srgo = np.zeros((n_shards, max_len), np.int32)
+    out_ctso = np.zeros((n_shards, max_len), counts.dtype)
     out_rgs = np.zeros((n_shards, rg_cnt + 1), np.int32)
     out_rge = np.zeros((n_shards, rg_cnt + 1), np.int32)
     out_ecs = np.zeros((n_shards, ec_cnt), np.int32)
@@ -107,11 +109,13 @@ def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
         # padding entries carry count 0, so wherever the sorts place
         # them their prefix-sum contribution is zero
         perm = np.argsort(out_ec[s], kind="stable").astype(np.int32)
-        out_perm[s] = perm
+        out_secs[s] = out_ec[s][perm]
+        out_srgo[s] = out_rg[s][perm]
+        out_ctso[s] = out_ct[s][perm]
         out_rgs[s], out_rge[s] = segment_bounds(out_rg[s], rg_cnt + 1)
-        out_ecs[s], out_ece[s] = segment_bounds(out_ec[s][perm], ec_cnt)
-    return (out_rg, out_ec, out_ct, out_perm, out_rgs, out_rge,
-            out_ecs, out_ece)
+        out_ecs[s], out_ece[s] = segment_bounds(out_secs[s], ec_cnt)
+    return (out_rg, out_ec, out_ct, out_secs, out_srgo, out_ctso,
+            out_rgs, out_rge, out_ecs, out_ece)
 
 
 def em_quantify_sharded(
@@ -130,8 +134,9 @@ def em_quantify_sharded(
     in ops/em.py."""
     n = mesh.devices.size
     ec_cnt = len(init_x)
-    (srg, sec, sct, sperm, srgs, srge, secs, sece) = partition_read_groups(
-        seg_rg, seg_ec, counts, rg_cnt, n, ec_cnt=ec_cnt)
+    (_, sec, _, secs_sorted, srgo, ctso, srgs, srge, secs, sece) = (
+        partition_read_groups(seg_rg, seg_ec, counts, rg_cnt, n,
+                              ec_cnt=ec_cnt))
     dtype = jnp.float32
     step = sharded_em_step(mesh, axis)
 
@@ -147,20 +152,20 @@ def em_quantify_sharded(
         out_specs=P(),
         check_vma=False,
     )
-    def run_step(x, srg_s, sec_s, sct_s, perm_s, rgs_s, rge_s, ecs_s,
+    def run_step(x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
                  ece_s, ec_len_r):
-        x1, _ = step(x, srg_s.reshape(-1), sec_s.reshape(-1),
-                     perm_s.reshape(-1), rgs_s.reshape(-1),
-                     rge_s.reshape(-1), ecs_s.reshape(-1),
-                     ece_s.reshape(-1), sct_s.reshape(-1), ec_len_r)
+        x1, _ = step(x, sec_s.reshape(-1), secs_s.reshape(-1),
+                     srgo_s.reshape(-1), ctso_s.reshape(-1),
+                     rgs_s.reshape(-1), rge_s.reshape(-1),
+                     ecs_s.reshape(-1), ece_s.reshape(-1), ec_len_r)
         return x1
 
     run_step = jax.jit(run_step, donate_argnums=(0,))
     x = jnp.asarray(init_x, dtype)
     x = x / x.sum()
     args = tuple(jnp.asarray(a) for a in
-                 (srg, sec, sct.astype(np.float32), sperm, srgs, srge,
-                  secs, sece))
+                 (sec, secs_sorted, srgo, ctso.astype(np.float32),
+                  srgs, srge, secs, sece))
     ec_len_d = jnp.asarray(ec_len, dtype)
     for _ in range(iterations):
         x = run_step(x, *args, ec_len_d)

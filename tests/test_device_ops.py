@@ -250,3 +250,22 @@ def test_band_window_adapts_to_length_difference():
         got = banded_scores_band(tc, tl, pc, pl, G=1, interpret=True)
         want = np.array([align_global(tc[i], pc[i])[0] for i in range(B)])
         assert (np.asarray(got) == want).all(), f"diff={diff}"
+
+
+def test_jax_em_segment_path_matches_dense():
+    """Both device EM formulations (dense matvec fast path vs the
+    scatter-free segment path for cohort-scale problems) agree with the
+    native oracle."""
+    from t1k_tpu.native import em_quantify
+    from t1k_tpu.ops import em as em_mod
+
+    args = _em_inputs()
+    it_native, count_native = em_quantify(**args)
+    old = em_mod.DENSE_EM_MAX_ELEMS
+    em_mod.DENSE_EM_MAX_ELEMS = 0  # force the segment path
+    try:
+        it_seg, count_seg = em_mod.em_quantify_jax(**args)
+    finally:
+        em_mod.DENSE_EM_MAX_ELEMS = old
+    assert it_seg == it_native
+    np.testing.assert_allclose(count_seg, count_native, rtol=2e-3, atol=1e-3)
