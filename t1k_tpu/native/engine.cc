@@ -552,8 +552,25 @@ static void ChainLIS(const std::vector<Seed>& in, std::vector<Seed>* out) {
     if (lis[i].b != out->back().b) out->push_back(lis[i]);
 }
 
-static int TotalSpan(const std::vector<Seed>& seeds, bool onRead, int k) {
-  int n = (int)seeds.size();
+// Flat per-call seed storage: one arena plus a (start,len) span per
+// overlap.  A vector<vector<Seed>> here cost one heap allocation per
+// overlap — ~17.8M per KIR-scale run.
+struct SeedSpans {
+  std::vector<Seed> flat;
+  std::vector<std::pair<int32_t, int32_t>> span;
+  void clear() {
+    flat.clear();
+    span.clear();
+  }
+  const Seed* data(int i) const { return flat.data() + span[i].first; }
+  int size(int i) const { return span[i].second; }
+  void push(const std::vector<Seed>& s) {
+    span.emplace_back((int32_t)flat.size(), (int32_t)s.size());
+    flat.insert(flat.end(), s.begin(), s.end());
+  }
+};
+
+static int TotalSpan(const Seed* seeds, int n, bool onRead, int k) {
   int ret = 0;
   int i = 0;
   while (i < n) {
@@ -577,7 +594,7 @@ static int TotalSpan(const std::vector<Seed>& seeds, bool onRead, int k) {
 static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
                           int hitLenRequired,
                           std::vector<Overlap>* overlaps,
-                          std::vector<std::vector<Seed>>* overlapSeeds) {
+                          SeedSpans* overlapSeeds) {
   const int k = eng.index.k();
   const int minHitRequired = 3;
   int n = (int)hits.size();
@@ -667,8 +684,9 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
         s = e;
         continue;
       }
-      int hitLen = TotalSpan(lis, true, k);
-      if (hitLen < hitLenRequired || TotalSpan(lis, false, k) < hitLenRequired) {
+      int hitLen = TotalSpan(lis.data(), (int)lis.size(), true, k);
+      if (hitLen < hitLenRequired ||
+          TotalSpan(lis.data(), (int)lis.size(), false, k) < hitLenRequired) {
         s = e;
         continue;
       }
@@ -683,7 +701,7 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
       o.matchCnt = 2 * hitLen;
       o.similarity = 0;
       overlaps->push_back(o);
-      overlapSeeds->push_back(lis);
+      overlapSeeds->push(lis);
       s = e;
     }
     i = j;
@@ -718,7 +736,7 @@ template <class GapStats>
 static void ScoreOverlapsCore(Engine& eng, const int8_t* read,
                               const int8_t* rcRead, int len,
                               std::vector<Overlap>* overlaps,
-                              std::vector<std::vector<Seed>>* overlapSeeds,
+                              SeedSpans* overlapSeeds,
                               GapStats&& gapMatch) {
   const int k = eng.index.k();
   int cnt = (int)overlaps->size();
@@ -732,19 +750,20 @@ static void ScoreOverlapsCore(Engine& eng, const int8_t* read,
   for (int i = 0; i < cnt; ++i) {
     if ((*overlaps)[i].strand != (*overlaps)[best].strand) continue;
     (*overlaps)[w] = (*overlaps)[i];
-    (*overlapSeeds)[w] = (*overlapSeeds)[i];
+    overlapSeeds->span[w] = overlapSeeds->span[i];
     ++w;
   }
   overlaps->resize(w);
-  overlapSeeds->resize(w);
+  overlapSeeds->span.resize(w);
   cnt = w;
 
   for (int i = 0; i < cnt; ++i) {
     Overlap& o = (*overlaps)[i];
-    const std::vector<Seed>& seeds = (*overlapSeeds)[i];
+    const Seed* seeds = overlapSeeds->data(i);
+    const int nSeeds = overlapSeeds->size(i);
     const int8_t* r = o.strand == 1 ? read : rcRead;
     int matchCnt = 2 * k;
-    for (size_t j = 1; j < seeds.size(); ++j) {
+    for (int j = 1; j < nSeeds; ++j) {
       const Seed& prev = seeds[j - 1];
       const Seed& cur = seeds[j];
       if (prev.b - prev.a == cur.b - cur.a) {
@@ -783,7 +802,7 @@ static void ScoreOverlapsCore(Engine& eng, const int8_t* read,
 static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
                                       const int8_t* rcRead,
                                       std::vector<Overlap>* overlaps,
-                                      std::vector<std::vector<Seed>>* overlapSeeds) {
+                                      SeedSpans* overlapSeeds) {
   int cnt = (int)overlaps->size();
   for (int i = 0; i < cnt; ++i) {
     Overlap& o = (*overlaps)[i];
@@ -796,11 +815,11 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
   for (int i = 0; i < cnt; ++i) {
     if ((*overlaps)[i].similarity < eng.refSim) continue;
     (*overlaps)[w] = (*overlaps)[i];
-    (*overlapSeeds)[w] = (*overlapSeeds)[i];
+    overlapSeeds->span[w] = overlapSeeds->span[i];
     ++w;
   }
   overlaps->resize(w);
-  overlapSeeds->resize(w);
+  overlapSeeds->span.resize(w);
 }
 
 // Per-read memo for small stat DPs: across a read's candidate alleles
@@ -822,12 +841,20 @@ struct StatsMemo {
   uint32_t gen = 0;
 
   static uint64_t Hash(const int8_t* t, int tLen, int pOff, int pLen) {
+    // FNV over 8-byte chunks: window contents are hashed for every
+    // candidate allele, so the per-byte loop was hot
     uint64_t h = 1469598103934665603ull;
     h = (h ^ (uint64_t)pOff) * 1099511628211ull;
     h = (h ^ (uint64_t)pLen) * 1099511628211ull;
-    for (int i = 0; i < tLen; ++i)
-      h = (h ^ (uint8_t)t[i]) * 1099511628211ull;
-    return h;
+    int i = 0;
+    for (; i + 8 <= tLen; i += 8) {
+      uint64_t w;
+      std::memcpy(&w, t + i, 8);
+      h = (h ^ w) * 1099511628211ull;
+    }
+    uint64_t tail = 0;
+    for (; i < tLen; ++i) tail = (tail << 8) | (uint8_t)t[i];
+    return (h ^ tail) * 1099511628211ull;
   }
 
   void Clear() { ++gen; }
@@ -865,7 +892,7 @@ struct StatsMemo {
 
 static void ScoreOverlaps(Engine& eng, const int8_t* read, const int8_t* rcRead,
                           int len, std::vector<Overlap>* overlaps,
-                          std::vector<std::vector<Seed>>* overlapSeeds,
+                          SeedSpans* overlapSeeds,
                           AlignScratch* scratch) {
   static thread_local StatsMemo memo;
   memo.Clear();
@@ -1178,7 +1205,8 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   }
 
   std::vector<Overlap> overlaps;
-  std::vector<std::vector<Seed>> seeds;
+  static thread_local SeedSpans seeds;
+  seeds.clear();
   {
     ScopedNs t(&gProf.chain);
     BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
@@ -1247,7 +1275,7 @@ struct DeferRead {
   int32_t weight = 0;
   std::vector<int8_t> rc;
   std::vector<Overlap> overlaps;
-  std::vector<std::vector<Seed>> seeds;
+  SeedSpans seeds;
   // Per local item, every (overlap) consumption of it — identical
   // windows across candidate alleles are emitted once and fanned back
   // out on apply (duplicates kept: an overlap can consume a window
@@ -1565,7 +1593,8 @@ static bool HasHitInSet(Engine& eng, const int8_t* read, int len) {
 
   std::vector<Hit> bucket(hits.begin() + bestStart, hits.begin() + bestStart + bestLen);
   std::vector<Overlap> overlaps;
-  std::vector<std::vector<Seed>> seeds;
+  static thread_local SeedSpans seeds;
+  seeds.clear();
   BuildOverlaps(eng, bucket, eng.hitLenRequired, &overlaps, &seeds);
   int mismatchBudget = (int)(len * (1 - eng.refSim)) * k;
   for (const Overlap& o : overlaps)
