@@ -29,15 +29,26 @@ import numpy as np
 _EMPTY = np.uint32(0xFFFFFFFF)
 
 
+# Largest k that uses direct bitmap addressing (4^14 bits = 32MB HBM).
+_DIRECT_MAX_K = 14
+
+
 @dataclass
 class DeviceKmerTable:
     k: int
-    table: jnp.ndarray      # uint32 [size] keys, 0xFFFFFFFF = empty
+    table: jnp.ndarray      # direct: uint32 bitmap [4^k/32];
+    #                         hashed: uint32 [size] keys, 0xFFFFFFFF empty
     size: int               # power of two
+    direct: bool = False    # direct-addressed bitmap vs open addressing
 
     @classmethod
     def build(cls, packed, k: int) -> "DeviceKmerTable":
-        """Collect distinct valid k-mers of all reference sequences."""
+        """Collect distinct valid k-mers of all reference sequences.
+
+        For k <= 14 the key space 4^k is small enough to direct-address
+        a membership bitmap — the classify kernel then costs exactly ONE
+        table gather per window (gathers dominate on TPU), with exact
+        membership.  Larger k falls back to open addressing."""
         keys = set()
         for s in range(packed.n):
             start = int(packed.seq_starts[s])
@@ -50,9 +61,21 @@ class DeviceKmerTable:
             pows = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
             vals = (np.where(win < 4, win, 3) * pows).sum(axis=1)
             keys.update(int(v) for v in vals[valid])
+        if k <= _DIRECT_MAX_K:
+            nbits = 4 ** k
+            bitmap = np.zeros(max(nbits // 32, 1), np.uint32)
+            if keys:
+                ka = np.fromiter(keys, np.int64, len(keys))
+                np.bitwise_or.at(bitmap, ka >> 5,
+                                 np.uint32(1) << (ka & 31).astype(np.uint32))
+            return cls(k=k, table=jnp.asarray(bitmap), size=len(bitmap),
+                       direct=True)
         n = max(len(keys), 1)
+        # 4x oversizing keeps the load factor <= 0.25 so the classify
+        # kernel's short probe cap (conservative overflow, see
+        # _classify) almost never fires: P(6 non-empty probes) ~ 0.02%
         size = 1
-        while size < 2 * n:
+        while size < 4 * n:
             size *= 2
         table = np.full(size, _EMPTY, dtype=np.uint32)
         mask = size - 1
@@ -79,13 +102,17 @@ def _rolling_codes(codes: jnp.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "size", "max_probe"))
-def _classify(codes, lens, table, k: int, size: int, max_probe: int = 32):
+def _classify(codes, lens, table, k: int, size: int, max_probe: int = 6):
     """Count index-matching windows per read on both strands.
 
-    Returns (fwd_matches [R], rc_matches [R]) int32.
+    Returns (fwd_matches [R], rc_matches [R]) int32 — an UPPER BOUND on
+    the true match counts: a probe chain not resolved within max_probe
+    steps counts as a match.  Device gathers dominate this kernel's
+    cost (each probe is one table gather per window), and the table is
+    >=4x oversized, so a short probe cap with conservative overflow is
+    ~5x cheaper than probing to completion while preserving the
+    prefilter's no-false-negative guarantee.
     """
-    R, L = codes.shape
-    W = L - k + 1
     mask = jnp.uint32(size - 1)
 
     def lookup(keys):  # keys [R, W] uint32
@@ -100,11 +127,29 @@ def _classify(codes, lens, table, k: int, size: int, max_probe: int = 32):
             h = jnp.where(found | empty, h, (h + step) & mask)
             return h, found, empty
 
-        _, found, _ = jax.lax.fori_loop(
+        _, found, empty = jax.lax.fori_loop(
             0, max_probe, body,
             (h0, jnp.zeros_like(keys, bool), jnp.zeros_like(keys, bool)))
-        return found
+        return found | ~(found | empty)  # unresolved -> conservative hit
 
+    return _strand_counts(codes, lens, lookup, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _classify_direct(codes, lens, bitmap, k: int):
+    """Direct-addressed membership: one bitmap-word gather per window,
+    exact counts (the fast path for k <= 14; see DeviceKmerTable)."""
+
+    def lookup(keys):
+        words = bitmap[(keys >> 5).astype(jnp.int32)]
+        return ((words >> (keys & 31)) & 1) == 1
+
+    return _strand_counts(codes, lens, lookup, k)
+
+
+def _strand_counts(codes, lens, lookup, k: int):
+    R, L = codes.shape
+    W = L - k + 1
     fwd, fwd_valid = _rolling_codes(codes, k)
     # reverse complement read: windows mirror; compute rc codes directly
     rc_codes = jnp.where(codes < 4, 3 - codes, codes)[:, ::-1]
@@ -132,9 +177,14 @@ def classify_reads(table: DeviceKmerTable, codes: np.ndarray, lens: np.ndarray):
     if rows != n:
         codes = np.vstack([codes, np.zeros((rows - n, codes.shape[1]), codes.dtype)])
         lens = np.concatenate([lens, np.zeros(rows - n, lens.dtype)])
-    fwd, rc = _classify(jnp.asarray(codes, jnp.int32),
-                        jnp.asarray(lens, jnp.int32),
-                        table.table, table.k, table.size)
+    if table.direct:
+        fwd, rc = _classify_direct(jnp.asarray(codes, jnp.int32),
+                                   jnp.asarray(lens, jnp.int32),
+                                   table.table, table.k)
+    else:
+        fwd, rc = _classify(jnp.asarray(codes, jnp.int32),
+                            jnp.asarray(lens, jnp.int32),
+                            table.table, table.k, table.size)
     return fwd[:n], rc[:n]
 
 
