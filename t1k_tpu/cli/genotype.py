@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--outputReadAssignment", action="store_true")
     ap.add_argument("--backend", default="native",
                     choices=["native", "tpu"])
+    ap.add_argument("--emBackend", dest="emBackend", default="native",
+                    choices=["native", "jax"],
+                    help="EM implementation: native f64 (byte-exact) or "
+                         "jitted device EM (multi-chip scale path)")
     return ap
 
 
@@ -55,6 +59,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         barcode_file=args.barcode[0] if args.barcode else None,
         output_read_assignment=args.outputReadAssignment,
         threads=args.threads, backend=args.backend,
+        em_backend=args.emBackend,
     )
     if args.interleaved:
         from ..io.reads import read_seq_files, write_fastq
