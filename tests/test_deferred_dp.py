@@ -129,3 +129,46 @@ def test_chunked_deferral_matches_unchunked():
     assert np.array_equal(fl1, fl2)
     assert np.array_equal(pw1, pw2)
     assert rec1.shape[0] > 0
+
+
+def test_deferred_pallas_with_indel_reads():
+    """Reads carrying 3-9bp indels produce gap-fill / extension windows
+    with large length differences, exercising the adaptive ML / window
+    buckets of the deferred stats kernel (ops/align_pallas_band.py
+    _diff_bucket) — still byte-identical to the inline path."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.ops.align_pallas_band import make_deferred_stats_fn
+
+    rs, _, _, _, _ = _setup(n_alleles=8, n_reads=4)
+    recs = list(read_seq_file(CYP_RNA))
+    base = recs[0].seq
+    rng = np.random.default_rng(31)
+    seqs = []
+    for i in range(24):
+        p = int(rng.integers(100, len(base) - 220))
+        s = list(base[p:p + 120])
+        q = int(rng.integers(20, 90))
+        n_ind = int(rng.integers(3, 10))
+        if i % 2 == 0:  # deletion of n_ind bases
+            del s[q:q + n_ind]
+        else:           # insertion of n_ind random bases
+            s[q:q] = list("ACGT"[int(b)] for b in rng.integers(0, 4, n_ind))
+        seqs.append("".join(s[:120]))
+    codes = [encode_seq(s) for s in seqs]
+    lens = np.array([len(c) for c in codes], np.int32)
+    starts = np.zeros(len(codes), np.int64)
+    starts[1:] = np.cumsum(lens[:-1])
+    flat = np.concatenate(codes).astype(np.int8)
+    weights = np.ones(len(codes), np.int32)
+
+    k = rs.infer_kmer_length()
+    packed = rs.packed()
+    eng1 = NativeEngine(packed, k)
+    rec1, off1 = eng1.assign_batch(flat, starts, lens, weights)
+    eng2 = NativeEngine(packed, k)
+    rec2, off2 = eng2.assign_batch_deferred(
+        flat, starts, lens, weights, make_deferred_stats_fn(interpret=True))
+    assert np.array_equal(rec1, rec2)
+    assert np.array_equal(off1, off2)
+    assert rec1.shape[0] > 0
