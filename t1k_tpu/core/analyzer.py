@@ -18,6 +18,7 @@ from ..io.refset import RefSet
 from ..native import NativeEngine, align_global
 from .fragment import RefContext, fragment_assign, set_read_assignments
 from .genotyper import Genotyper, GenotyperConfig
+from ..utils.observability import metrics, stage
 from .pipeline import assign_unique_reads, log, overlap_lists_from_records
 from .variant import BarcodeSummary, VariantCaller
 
@@ -151,9 +152,11 @@ def run_analyzer(
 
     log(f"Found {read_cnt} read fragments. Start read assignment.")
     all_seqs = seqs1 + seqs2
-    uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs,
-                                                   zero_weights=True)
-    overlap_lists = overlap_lists_from_records(rec, off)
+    with stage("analyzer_read_assignment", read_count=read_cnt) as st:
+        uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs,
+                                                       zero_weights=True)
+        overlap_lists = overlap_lists_from_records(rec, off)
+        st["unique_read_count"] = len(uniq)
     log("Finish read end assignments.")
 
     ctx = RefContext(refset, hit_len_required=31,
@@ -187,15 +190,18 @@ def run_analyzer(
     em_iters = genotyper.quantify()
     log(f"Finish allele quantification in {em_iters} EM iterations.")
 
-    for i in range(read_cnt):
-        if not aligned_flags[i]:
-            continue
-        for frag in fragment_assignments[i]:
-            _add_alignment_info(frag, refset)
+    with stage("alignment_info", fragment_count=aligned_cnt):
+        for i in range(read_cnt):
+            if not aligned_flags[i]:
+                continue
+            for frag in fragment_assignments[i]:
+                _add_alignment_info(frag, refset)
 
     vc = VariantCaller(refset, packed, opts.var_max_group)
     vc.set_seq_abundance(genotyper)
-    vc.compute(fragment_assignments)
+    with stage("variant_calling") as st:
+        vc.compute(fragment_assignments)
+        st["variant_count"] = len(vc.final_variants)
     vc.write_vcf(f"{output_prefix}_allele.vcf")
 
     if barcodes is not None:
@@ -207,4 +213,5 @@ def run_analyzer(
         summary.write(f"{output_prefix}_barcode_expr.tsv", bc_names)
 
     log("Post analysis finishes.")
+    metrics().save(f"{output_prefix}_analyzer_metrics.json")
     return {"em_iterations": em_iters, "variants": len(vc.final_variants)}

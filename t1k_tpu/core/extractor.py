@@ -163,15 +163,18 @@ def run_extractor(
                 flags[i] = sub[j]
         return flags
 
-    good = screen(recs1)
-    if recs2 is not None:
-        # only screen mate 2 where mate 1 failed (either-mate rule)
-        failed = [i for i in range(len(recs2)) if not good[i]]
-        if failed:
-            sub_flags = screen([recs2[i] for i in failed])
-            for j, i in enumerate(failed):
-                if sub_flags[j]:
-                    good[i] = 1
+    from ..utils.observability import stage
+    with stage("extraction_screen", read_count=len(recs1)) as st:
+        good = screen(recs1)
+        if recs2 is not None:
+            # only screen mate 2 where mate 1 failed (either-mate rule)
+            failed = [i for i in range(len(recs2)) if not good[i]]
+            if failed:
+                sub_flags = screen([recs2[i] for i in failed])
+                for j, i in enumerate(failed):
+                    if sub_flags[j]:
+                        good[i] = 1
+        st["candidate_count"] = int(np.sum(good != 0))
 
     # Outputs.
     n_out = 0
