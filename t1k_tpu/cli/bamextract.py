@@ -22,6 +22,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-c", dest="coord", default=None,
                     help="coordinate fasta (defaults to -f)")
     ap.add_argument("-o", dest="prefix", default="t1k")
+    ap.add_argument("-t", dest="threads", type=int, default=1,
+                    help="worker threads (the native reader already "
+                         "scales to all cores; accepted for parity with "
+                         "BamExtractor.cpp:512-515)")
+    ap.add_argument("-u", dest="abnormalUnmapFlag", action="store_true",
+                    help="short form of --abnormalUnmapFlag "
+                         "(BamExtractor.cpp:508-511)")
     ap.add_argument("--barcode", default="",
                     help="BAM tag carrying the cell barcode (e.g. CB)")
     ap.add_argument("--UMI", dest="umi", default="",
