@@ -399,7 +399,11 @@ struct Engine {
   std::vector<int32_t> lens;
   const uint8_t* exonMask;
   int32_t nSeqs;
-  std::vector<std::vector<int32_t>> separators;  // N positions per seq
+  // Separator (N) positions per seq incl. the -1/len boundary
+  // sentinels, flat arena + per-seq offsets: the per-overlap range
+  // checks in the extension loop were chasing a vector-of-vectors.
+  std::vector<int32_t> sepFlat;
+  std::vector<int32_t> sepStart;  // nSeqs+1 offsets into sepFlat
   std::vector<int8_t> ownedCodes;
   std::vector<uint8_t> ownedExon;
 
@@ -425,10 +429,48 @@ struct Engine {
   const int8_t* Seq(int s) const { return codes + starts[s]; }
   int32_t SeqLen(int s) const { return lens[s]; }
 
+  const int32_t* SepBegin(int seq) const { return sepFlat.data() + sepStart[seq]; }
+  const int32_t* SepEnd(int seq) const { return sepFlat.data() + sepStart[seq + 1]; }
+  int SepCount(int seq) const { return sepStart[seq + 1] - sepStart[seq]; }
+
   bool SeparatorInRange(int s, int e, int seq) const {
-    for (int32_t pos : separators[seq])
-      if (pos >= s && pos <= e) return true;
+    const int32_t* p = SepBegin(seq);
+    const int32_t* q = SepEnd(seq);
+    for (; p != q; ++p)
+      if (*p >= s && *p <= e) return true;
     return false;
+  }
+};
+
+// Optional per-phase wall-clock accounting for the assignment pipeline,
+// enabled with T1K_ENGINE_PROFILE=1 (printed by t1k_assign_batch).
+struct EngineProfile {
+  std::atomic<int64_t> hits{0}, chain{0}, score{0}, finish{0};
+  std::atomic<int64_t> extLoop{0}, fullSpan{0}, sortT{0};
+  // diagnostic counters (also profile-gated)
+  std::atomic<int64_t> nExtIter{0}, nOverhangDP{0}, nFullspan{0},
+      walkHits{0}, walkComputes{0}, scatterOps{0}, nHits{0}, nGroups{0};
+  static bool Enabled() {
+    static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
+    return on;
+  }
+};
+static EngineProfile gProf;
+
+struct ScopedNs {
+  std::atomic<int64_t>* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit ScopedNs(std::atomic<int64_t>* a) : acc(nullptr) {
+    if (EngineProfile::Enabled()) {
+      acc = a;
+      t0 = std::chrono::steady_clock::now();
+    }
+  }
+  ~ScopedNs() {
+    if (acc)
+      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
   }
 };
 
@@ -587,6 +629,50 @@ static int TotalSpan(const Seed* seeds, int n, bool onRead, int k) {
   return ret;
 }
 
+// Per-read memo over (strand, seq) hit groups: the chain computation
+// (diagonal clustering, dominant-diagonal dedupe, LIS, span filters)
+// depends only on the group's (readOff, seqOff) pair list, and is
+// invariant under a uniform shift of the seqOffs — every comparison is
+// between diagonal or offset DIFFERENCES.  Candidate alleles of a gene
+// present identical (or identically shifted) hit patterns wherever the
+// read span contains no variant, so the chain result can be replayed
+// with the shift applied instead of recomputed (at HLA scale ~24M
+// groups per run collapse to a few hundred distinct patterns per read).
+// Collisions resolve by exact pair-list compare against the first
+// occurrence's slice of the (stable, per-read) hits array.
+struct GroupMemo {
+  struct Entry {
+    uint32_t gen = 0;
+    uint64_t h;
+    int32_t hitIdx, nHits;  // first occurrence: slice of the hits array
+    int32_t ovStart, ovCnt; // produced overlaps: span into the arenas
+  };
+  std::vector<Entry> slots = std::vector<Entry>(1 << 12);
+  uint32_t gen = 0;
+  // Arenas of the produced overlaps, seqStart/seqEnd and seed.b stored
+  // relative to the group's first seqOff.
+  std::vector<Overlap> ovArena;
+  std::vector<std::pair<int32_t, int32_t>> seedSpan;
+  std::vector<Seed> seedArena;
+
+  void Clear() {
+    ++gen;
+    ovArena.clear();
+    seedSpan.clear();
+    seedArena.clear();
+  }
+
+  static uint64_t Hash(const Hit* h, int n, int32_t base) {
+    uint64_t x = 1469598103934665603ull;
+    for (int i = 0; i < n; ++i) {
+      uint64_t w = ((uint64_t)(uint32_t)h[i].roff << 32) |
+                   (uint32_t)(h[i].soff - base);
+      x = (x ^ w) * 1099511628211ull;
+    }
+    return x;
+  }
+};
+
 // From sorted hits build candidate overlaps: per (strand, seq) group,
 // cluster by diagonal (radius 10 for reference sequences), keep per read
 // offset the seed closest to the dominant diagonal, chain with LIS, apply
@@ -603,6 +689,9 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
     if (h.roff > maxReadOffset) maxReadOffset = h.roff;
   std::vector<int> offsetBest(maxReadOffset + 1, 0);
 
+  static thread_local GroupMemo memo;
+  memo.Clear();
+
   struct DiagSeed {
     int32_t a, b, c;
   };
@@ -618,6 +707,70 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
       i = j;
       continue;
     }
+    if (EngineProfile::Enabled()) ++gProf.nGroups;
+
+    // ---- group memo probe
+    const int32_t base = hits[i].soff;
+    const uint64_t gh = GroupMemo::Hash(&hits[i], j - i, base);
+    GroupMemo::Entry* fill = nullptr;
+    bool replayed = false;
+    {
+      size_t mask = memo.slots.size() - 1;
+      size_t si = gh & mask;
+      size_t probes = 0;
+      for (;;) {
+        GroupMemo::Entry& e = memo.slots[si];
+        if (e.gen != memo.gen) {
+          e.gen = memo.gen;
+          e.h = gh;
+          e.hitIdx = i;
+          e.nHits = j - i;
+          e.ovStart = (int32_t)memo.ovArena.size();
+          e.ovCnt = -1;  // filled below after the group is computed
+          fill = &e;
+          break;
+        }
+        if (e.h == gh && e.nHits == j - i && e.ovCnt >= 0) {
+          const Hit* a = &hits[e.hitIdx];
+          const Hit* b = &hits[i];
+          const int32_t abase = a[0].soff;
+          bool same = true;
+          for (int t = 0; t < e.nHits; ++t)
+            if (a[t].roff != b[t].roff ||
+                a[t].soff - abase != b[t].soff - base) {
+              same = false;
+              break;
+            }
+          if (same) {
+            for (int t = 0; t < e.ovCnt; ++t) {
+              Overlap o = memo.ovArena[e.ovStart + t];
+              o.seq = hits[i].seq;
+              o.strand = hits[i].strand;
+              o.seqStart += base;
+              o.seqEnd += base;
+              overlaps->push_back(o);
+              auto sp = memo.seedSpan[e.ovStart + t];
+              overlapSeeds->span.emplace_back(
+                  (int32_t)overlapSeeds->flat.size(), sp.second);
+              for (int q = 0; q < sp.second; ++q) {
+                Seed s = memo.seedArena[sp.first + q];
+                s.b += base;
+                overlapSeeds->flat.push_back(s);
+              }
+            }
+            replayed = true;
+            break;
+          }
+        }
+        si = (si + 1) & mask;
+        if (++probes > memo.slots.size() / 2) break;  // saturated: compute
+      }
+      if (replayed) {
+        i = j;
+        continue;
+      }
+    }
+    const size_t ovBefore = overlaps->size();
     diag.clear();
     for (int t = i; t < j; ++t)
       diag.push_back({hits[t].roff, hits[t].soff, hits[t].roff - hits[t].soff});
@@ -703,6 +856,25 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
       overlaps->push_back(o);
       overlapSeeds->push(lis);
       s = e;
+    }
+
+    // ---- record the group's result (shift-relative) for replay
+    if (fill != nullptr) {
+      const int cnt = (int)(overlaps->size() - ovBefore);
+      fill->ovCnt = cnt;
+      for (int t = 0; t < cnt; ++t) {
+        Overlap o = (*overlaps)[ovBefore + t];
+        o.seqStart -= base;
+        o.seqEnd -= base;
+        memo.ovArena.push_back(o);
+        auto sp = overlapSeeds->span[ovBefore + t];
+        memo.seedSpan.emplace_back((int32_t)memo.seedArena.size(), sp.second);
+        for (int q = 0; q < sp.second; ++q) {
+          Seed sd = overlapSeeds->flat[sp.first + q];
+          sd.b -= base;
+          memo.seedArena.push_back(sd);
+        }
+      }
     }
     i = j;
   }
@@ -920,21 +1092,22 @@ struct ExtGeom {
 
 static ExtGeom ExtendGeometry(Engine& eng, const Overlap& o, int len) {
   int seqLen = eng.SeqLen(o.seq);
-  const std::vector<int32_t>& seps = eng.separators[o.seq];
+  const int32_t* sepLo = eng.SepBegin(o.seq);
+  const int32_t* sepHi = eng.SepEnd(o.seq);
   ExtGeom g;
   g.leftOver = std::min(o.readStart, o.seqStart);
   g.leftClip = 0;
   g.rightClip = 0;
   if (o.readStart > o.seqStart) g.leftClip = o.readStart - o.seqStart;
-  if (!seps.empty()) {
+  {
     // nearest 'N' separator in [seqStart - leftOver, seqStart) — binary
     // search over the precomputed positions instead of a byte scan
-    auto it = std::lower_bound(seps.begin(), seps.end(),
-                               o.seqStart - g.leftOver);
-    if (it != seps.end() && *it < o.seqStart) {
+    const int32_t* it =
+        std::lower_bound(sepLo, sepHi, o.seqStart - g.leftOver);
+    if (it != sepHi && *it < o.seqStart) {
       // the reference scans outward from seqStart, so the CLOSEST
       // separator wins: the last one below seqStart
-      auto it2 = std::lower_bound(seps.begin(), seps.end(), o.seqStart);
+      const int32_t* it2 = std::lower_bound(sepLo, sepHi, o.seqStart);
       int32_t sep = *(it2 - 1);
       int i = o.seqStart - 1 - sep;  // scan index at which it was found
       g.leftClip = g.leftOver - i;
@@ -944,9 +1117,9 @@ static ExtGeom ExtendGeometry(Engine& eng, const Overlap& o, int len) {
   g.rightOver = std::min(len - 1 - o.readEnd, seqLen - 1 - o.seqEnd);
   if (len - 1 - o.readEnd > seqLen - 1 - o.seqEnd)
     g.rightClip = (len - 1 - o.readEnd) - (seqLen - 1 - o.seqEnd);
-  if (!seps.empty()) {
-    auto it = std::lower_bound(seps.begin(), seps.end(), o.seqEnd + 1);
-    if (it != seps.end() && *it <= o.seqEnd + g.rightOver) {
+  {
+    const int32_t* it = std::lower_bound(sepLo, sepHi, o.seqEnd + 1);
+    if (it != sepHi && *it <= o.seqEnd + g.rightOver) {
       int i = *it - (o.seqEnd + 1);
       g.rightClip = g.rightOver - i;
       g.rightOver = i;
@@ -986,35 +1159,6 @@ static bool ExtendCombine(Engine& eng, const Overlap& o, const ExtGeom& g,
 }
 
 
-// Optional per-phase wall-clock accounting for the assignment pipeline,
-// enabled with T1K_ENGINE_PROFILE=1 (printed by t1k_assign_batch).
-struct EngineProfile {
-  std::atomic<int64_t> hits{0}, chain{0}, score{0}, finish{0};
-  std::atomic<int64_t> extLoop{0}, fullSpan{0};
-  static bool Enabled() {
-    static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
-    return on;
-  }
-};
-static EngineProfile gProf;
-
-struct ScopedNs {
-  std::atomic<int64_t>* acc;
-  std::chrono::steady_clock::time_point t0;
-  explicit ScopedNs(std::atomic<int64_t>* a) : acc(nullptr) {
-    if (EngineProfile::Enabled()) {
-      acc = a;
-      t0 = std::chrono::steady_clock::now();
-    }
-  }
-  ~ScopedNs() {
-    if (acc)
-      *acc += std::chrono::duration_cast<std::chrono::nanoseconds>(
-                  std::chrono::steady_clock::now() - t0)
-                  .count();
-  }
-};
-
 // Extension loop + near-best full-span pass + truncation — the tail of
 // the read assignment shared by the inline and deferred-DP paths.  The
 // overhang DP is abstracted behind extStats(sortedOverlapIdx, overlap,
@@ -1034,6 +1178,8 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   bool onlyConsiderClip = false;
   int goodMatchCnt = -1;
   ScopedNs extTimer(&gProf.extLoop);
+  if (EngineProfile::Enabled())
+    gProf.nExtIter += (int64_t)overlaps.size();
   for (int oi = 0; oi < (int)overlaps.size(); ++oi) {
     const Overlap& o = overlaps[oi];
     if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
@@ -1084,11 +1230,13 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
     ++walkGen;
     size_t walkUsed = 0;
 
+    const bool profOn = EngineProfile::Enabled();
     for (Overlap& e : ext) {
       if (e.matchCnt < bestMatch - 10) {
         e.relaxedMatchCnt = 0;
         continue;
       }
+      if (profOn) ++gProf.nFullspan;
       if (!eng.relaxIntron && weight <= 0) {
         // the walk would feed only the coverage scatter (weight) and the
         // exon-relaxed recount (relaxIntron) — neither is active
@@ -1117,12 +1265,14 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
                             e.readEnd - e.readStart + 1, 5,
                             &walkArena[sl.walkIdx], scratch);
           widx = sl.walkIdx;
+          if (profOn) ++gProf.walkComputes;
           break;
         }
         if (sl.h == h && sl.tLen == spanT && sl.rs == e.readStart &&
             sl.re == e.readEnd &&
             (sl.t == t || std::memcmp(sl.t, t, spanT) == 0)) {
           widx = sl.walkIdx;
+          if (profOn) ++gProf.walkHits;
           break;
         }
         si = (si + 1) & mask;
@@ -1153,6 +1303,7 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
         e.relaxedMatchCnt = e.matchCnt;
       }
       if (weight > 0) {
+        if (profOn) gProf.scatterOps += (int64_t)edits.size();
         int refPos = e.seqStart, readPos = e.readStart;
         int32_t* pw = eng.posWeight.data() + 4 * eng.SeqStart(e.seq);
         if (eng.nThreads <= 1) {
@@ -1203,6 +1354,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
     ScopedNs t(&gProf.hits);
     CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
   }
+  if (EngineProfile::Enabled()) gProf.nHits += (int64_t)hits.size();
 
   std::vector<Overlap> overlaps;
   static thread_local SeedSpans seeds;
@@ -1217,7 +1369,10 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   }
   if (overlaps.empty()) return;
 
-  std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
+  {
+    ScopedNs st(&gProf.sortT);
+    std::sort(overlaps.begin(), overlaps.end(), OverlapRankLess);
+  }
   ScopedNs t(&gProf.finish);
   static thread_local StatsMemo extMemo;
   extMemo.Clear();
@@ -1226,6 +1381,8 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
       [&](int, const Overlap& o, const ExtGeom& g, const int8_t* r, int* lm,
           int* rm) {
         const int8_t* seq = eng.Seq(o.seq);
+        if (EngineProfile::Enabled())
+          gProf.nOverhangDP += (g.leftOver > 0) + (g.rightOver > 0);
         *lm = g.leftOver <= 0
                   ? 0
                   : extMemo.Get(seq + o.seqStart - g.leftOver, g.leftOver,
@@ -1624,17 +1781,18 @@ void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
   eng->hitLenRequired = hit_len_required;
   eng->relaxIntron = relax_intron_align != 0;
   eng->posWeight.assign((size_t)total_len * 4, 0);
-  eng->separators.resize(n_seqs);
+  eng->sepStart.assign(1, 0);
   for (int s = 0; s < n_seqs; ++s) {
     const int8_t* sc = eng->Seq(s);
     // Sentinels at -1 and len mirror the reference's separator list
     // (SeqSet.hpp:924-928): boundary positions count as separators, so
     // e.g. a mate pair that would extend exactly to position 0 trips
     // the truncated-mate filter.
-    eng->separators[s].push_back(-1);
+    eng->sepFlat.push_back(-1);
     for (int i = 0; i < eng->lens[s]; ++i)
-      if (sc[i] == 4) eng->separators[s].push_back(i);
-    eng->separators[s].push_back(eng->lens[s]);
+      if (sc[i] == 4) eng->sepFlat.push_back(i);
+    eng->sepFlat.push_back(eng->lens[s]);
+    eng->sepStart.push_back((int32_t)eng->sepFlat.size());
     eng->index.AddSequence(sc, eng->lens[s], s);
   }
   return eng;
@@ -1779,12 +1937,24 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
   }
   if (t1k::EngineProfile::Enabled()) {
     fprintf(stderr,
-            "[engine] hits=%.2fs chain=%.2fs score=%.2fs finish=%.2fs "
-            "(ext=%.2fs fullspan=%.2fs)\n",
+            "[engine] hits=%.2fs chain=%.2fs score=%.2fs sort=%.2fs "
+            "finish=%.2fs (ext=%.2fs fullspan=%.2fs)\n",
             t1k::gProf.hits.load() / 1e9, t1k::gProf.chain.load() / 1e9,
-            t1k::gProf.score.load() / 1e9, t1k::gProf.finish.load() / 1e9,
+            t1k::gProf.score.load() / 1e9, t1k::gProf.sortT.load() / 1e9,
+            t1k::gProf.finish.load() / 1e9,
             t1k::gProf.extLoop.load() / 1e9,
             t1k::gProf.fullSpan.load() / 1e9);
+    fprintf(stderr,
+            "[engine] nHits=%lld nGroups=%lld extIter=%lld overhangDP=%lld "
+            "fullspan=%lld walkHit=%lld walkCompute=%lld scatterOps=%lld\n",
+            (long long)t1k::gProf.nHits.load(),
+            (long long)t1k::gProf.nGroups.load(),
+            (long long)t1k::gProf.nExtIter.load(),
+            (long long)t1k::gProf.nOverhangDP.load(),
+            (long long)t1k::gProf.nFullspan.load(),
+            (long long)t1k::gProf.walkHits.load(),
+            (long long)t1k::gProf.walkComputes.load(),
+            (long long)t1k::gProf.scatterOps.load());
   }
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
                         : eng.resultOffsets.back();
