@@ -449,7 +449,10 @@ struct EngineProfile {
   std::atomic<int64_t> extLoop{0}, fullSpan{0}, sortT{0};
   // diagnostic counters (also profile-gated)
   std::atomic<int64_t> nExtIter{0}, nOverhangDP{0}, nFullspan{0},
-      walkHits{0}, walkComputes{0}, scatterOps{0}, nHits{0}, nGroups{0};
+      walkHits{0}, walkComputes{0}, scatterOps{0}, nHits{0}, nGroups{0},
+      extMemoHits{0};
+  // rdtsc sub-phase cycles inside the extension loop
+  std::atomic<int64_t> cycGeom{0}, cycStats{0}, cycCombine{0};
   static bool Enabled() {
     static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
     return on;
@@ -1051,8 +1054,10 @@ struct StatsMemo {
         return e.match;
       }
       if (e.h == h && e.tLen == tLen && e.pOff == pOff && e.pLen == pLen &&
-          (e.t == t || std::memcmp(e.t, t, tLen) == 0))
+          (e.t == t || std::memcmp(e.t, t, tLen) == 0)) {
+        if (EngineProfile::Enabled()) ++gProf.extMemoHits;
         return e.match;
+      }
       i = (i + 1) & mask;
       if (++probes > slots.size() / 2) {
         // table saturated for this read: fall through uncached
@@ -1175,11 +1180,13 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
   const int8_t* r = overlaps[0].strand == 1 ? read : rcData;
 
   std::vector<Overlap>& ext = *out;
+  ext.reserve(overlaps.size());
   bool onlyConsiderClip = false;
   int goodMatchCnt = -1;
   ScopedNs extTimer(&gProf.extLoop);
-  if (EngineProfile::Enabled())
-    gProf.nExtIter += (int64_t)overlaps.size();
+  const bool extProf = EngineProfile::Enabled();
+  if (extProf) gProf.nExtIter += (int64_t)overlaps.size();
+  int64_t cGeom = 0, cStats = 0, cCombine = 0;
   for (int oi = 0; oi < (int)overlaps.size(); ++oi) {
     const Overlap& o = overlaps[oi];
     if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
@@ -1188,17 +1195,31 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
     if (onlyConsiderClip && o.matchCnt < goodMatchCnt &&
         (!needClip || o.similarity < 0.95))
       continue;
+    int64_t t0 = extProf ? (int64_t)__builtin_ia32_rdtsc() : 0;
     ExtGeom g = ExtendGeometry(eng, o, len);
+    int64_t t1 = extProf ? (int64_t)__builtin_ia32_rdtsc() : 0;
     int lm = 0, rm = 0;
     extStats(oi, o, g, r, &lm, &rm);
-    Overlap e;
-    if (ExtendCombine(eng, o, g, lm, rm, &e)) {
-      ext.push_back(e);
+    int64_t t2 = extProf ? (int64_t)__builtin_ia32_rdtsc() : 0;
+    ext.emplace_back();
+    if (ExtendCombine(eng, o, g, lm, rm, &ext.back())) {
       if (!onlyConsiderClip && (goodMatchCnt == -1 || o.matchCnt > goodMatchCnt))
         goodMatchCnt = o.matchCnt;
     } else {
+      ext.pop_back();
       onlyConsiderClip = true;
     }
+    if (extProf) {
+      int64_t t3 = (int64_t)__builtin_ia32_rdtsc();
+      cGeom += t1 - t0;
+      cStats += t2 - t1;
+      cCombine += t3 - t2;
+    }
+  }
+  if (extProf) {
+    gProf.cycGeom += cGeom;
+    gProf.cycStats += cStats;
+    gProf.cycCombine += cCombine;
   }
 
   if (!ext.empty() && weight >= 0) {
@@ -1955,6 +1976,14 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
             (long long)t1k::gProf.walkHits.load(),
             (long long)t1k::gProf.walkComputes.load(),
             (long long)t1k::gProf.scatterOps.load());
+    fprintf(stderr,
+            "[engine] extMemoHit=%lld/%lld extCyc geom=%.2fG stats=%.2fG "
+            "combine=%.2fG\n",
+            (long long)t1k::gProf.extMemoHits.load(),
+            (long long)t1k::gProf.nOverhangDP.load(),
+            t1k::gProf.cycGeom.load() / 1e9,
+            t1k::gProf.cycStats.load() / 1e9,
+            t1k::gProf.cycCombine.load() / 1e9);
   }
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
                         : eng.resultOffsets.back();
