@@ -883,22 +883,6 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
   }
 }
 
-// Low-complexity filter on the aligned read span
-// (reference SeqSet.hpp:458-485).
-static bool SpanLowComplexity(const int8_t* r, int start, int end) {
-  int cnt[4] = {0, 0, 0, 0};
-  for (int i = start; i <= end; ++i)
-    if (r[i] < 4) ++cnt[r[i]];
-  int lowCnt = 0, lowTotal = 0;
-  for (int i = 0; i < 4; ++i)
-    if (cnt[i] <= 2) {
-      ++lowCnt;
-      lowTotal += cnt[i];
-    }
-  if (lowTotal * 7 >= end - start + 1) return false;
-  return lowCnt >= 2;
-}
-
 // Walk consecutive LIS seeds and accumulate the exact match count: perfect
 // diagonal continuations count positionally, gaps are closed with the
 // banded DP (SeqSet.hpp:1594-1912).
@@ -979,12 +963,49 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
                                       std::vector<Overlap>* overlaps,
                                       SeedSpans* overlapSeeds) {
   int cnt = (int)overlaps->size();
+  if (cnt == 0) return;
+  // Low-complexity filter on the aligned read span (reference
+  // SeqSet.hpp:458-485: a span is low-complexity when >= 2 bases occur
+  // <= 2 times, unless those rare bases still make up >= 1/7 of it).
+  // The test depends only on the span's base counts; running the byte
+  // scan per overlap cost ~100 loads × every candidate allele, so one
+  // prefix-sum pass per (read, strand) makes each test O(1).
+  static thread_local std::vector<int32_t> pfx[2];  // [strand][4*(len+1)]
+  int built[2] = {0, 0};
   for (int i = 0; i < cnt; ++i) {
     Overlap& o = (*overlaps)[i];
-    const int8_t* r = o.strand == 1 ? read : rcRead;
+    const int si = o.strand == 1 ? 1 : 0;
+    const int8_t* r = si ? read : rcRead;
+    if (!built[si]) {
+      int len = o.readEnd + 1;
+      // length of the read: spans never exceed it; build up to the max
+      // readEnd across overlaps of this strand
+      for (int t = i; t < cnt; ++t)
+        if (((*overlaps)[t].strand == 1 ? 1 : 0) == si &&
+            (*overlaps)[t].readEnd + 1 > len)
+          len = (*overlaps)[t].readEnd + 1;
+      std::vector<int32_t>& p = pfx[si];
+      p.assign(4 * (len + 1), 0);
+      for (int q = 0; q < len; ++q) {
+        for (int c = 0; c < 4; ++c) p[4 * (q + 1) + c] = p[4 * q + c];
+        if (r[q] < 4) ++p[4 * (q + 1) + r[q]];
+      }
+      built[si] = 1;
+    }
+    const std::vector<int32_t>& p = pfx[si];
     o.similarity = (double)o.matchCnt /
                    (o.seqEnd - o.seqStart + 1 + o.readEnd - o.readStart + 1);
-    if (SpanLowComplexity(r, o.readStart, o.readEnd)) o.similarity = 0;
+    int lowCnt = 0, lowTotal = 0;
+    for (int c = 0; c < 4; ++c) {
+      int v = p[4 * (o.readEnd + 1) + c] - p[4 * o.readStart + c];
+      if (v <= 2) {
+        ++lowCnt;
+        lowTotal += v;
+      }
+    }
+    bool lowComplexity =
+        !(lowTotal * 7 >= o.readEnd - o.readStart + 1) && lowCnt >= 2;
+    if (lowComplexity) o.similarity = 0;
   }
   int w = 0;
   for (int i = 0; i < cnt; ++i) {
