@@ -61,6 +61,13 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
     left = 5 + jnp.maximum(-diff, 0)
     right = 5 + jnp.maximum(diff, 0)
     w_final = ML + diff  # sublane holding m[lenp][lent]
+    # Loop-invariant pieces of the band test: with j = i + w_local - ML,
+    # j >= i - left and j <= i + right reduce to bounds on w_local alone
+    # (carrying the full per-round scan masks instead was SLOWER — the
+    # extra live registers spill — but these three small arrays pay off).
+    j_rel = w_local - ML
+    wband = (w_local >= ML - left) & (w_local <= ML + right)
+    wfin = w_local == w_final
 
     # row 0 state in w coordinates (j = w - ML at i=0)
     j0 = w_local - ML
@@ -125,7 +132,7 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
             m_prev, e_prev, score, pm_prev, pe_prev, statv = carry
         else:
             m_prev, e_prev, score = carry
-        j = i + w_local - ML
+        j = j_rel + i
 
         # text window (t pre-shifted by ML+1 rows, so offset == i)
         t_win = jnp.concatenate(
@@ -136,34 +143,37 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
         sub = jnp.where((t_win == p_base) | (t_win == 4) | (p_base == 4),
                         SCORE_MATCH, SCORE_MISMATCH)
 
-        start = jnp.maximum(i - left, 1)
-        end = jnp.minimum(i + right, t_lens)
-        in_band = (j >= start) & (j <= end)
+        in_band = wband & (j >= 1) & (j <= t_lens)
         col0 = j == 0
         m0_i = GO + i * GO
+        start_le1 = left >= i - 1  # start = max(i-left, 1) <= 1
 
-        e_cur = jnp.maximum(shift_up(e_prev) + GE, shift_up(m_prev) + GO + GE)
+        # max commutes with the masked shift (both sides fill NEG_INF up
+        # to a bounded constant that in_band masking absorbs), so one
+        # shift replaces two
+        e_cur = shift_up(jnp.maximum(e_prev + GE, m_prev + (GO + GE)))
         e_cur = jnp.where(col0, GO + i * GE, e_cur)
 
         h = jnp.maximum(m_prev + sub, e_cur)
         h = jnp.where(col0, m0_i, h)
-        h = jnp.where(in_band | (col0 & (start <= 1)), h, NEG_INF)
+        h = jnp.where(in_band | (col0 & start_le1), h, NEG_INF)
 
         u = h - GE * j
+        # max(m0_i, m0_i - GO) == m0_i - GO since GO < 0
         u = jnp.where(col0,
-                      jnp.where(start <= 1, jnp.maximum(m0_i, m0_i - GO),
-                                NEG_INF), u)
+                      jnp.where(start_le1, m0_i - GO, NEG_INF), u)
         f = GO + GE * j + seg_prefix_max_excl(u)
 
+        ibc = in_band | col0
         m_cur = jnp.maximum(h, f)
-        m_cur = jnp.where(in_band | col0, m_cur, NEG_INF)
+        m_cur = jnp.where(ibc, m_cur, NEG_INF)
         m_cur = jnp.where(col0, m0_i, m_cur)
-        e_cur = jnp.where(in_band | col0, e_cur, NEG_INF)
+        e_cur = jnp.where(ibc, e_cur, NEG_INF)
 
         active = i <= p_lens
         m_cur = jnp.where(active, m_cur, m_prev)
         e_cur = jnp.where(active, e_cur, e_prev)
-        score = jnp.where((i == p_lens) & (w_local == w_final), m_cur, score)
+        score = jnp.where((i == p_lens) & wfin, m_cur, score)
 
         if not stats:
             return m_cur, e_cur, score
@@ -194,7 +204,7 @@ def _band_kernel(tl_ref, plen_ref, t_ref, p_ref, out_ref, stats_ref=None,
 
         pm_cur = jnp.where(active, pm_cur, pm_prev)
         pe_cur = jnp.where(active, pe_cur, pe_prev)
-        statv = jnp.where((i == p_lens) & (w_local == w_final), pm_cur, statv)
+        statv = jnp.where((i == p_lens) & wfin, pm_cur, statv)
         return m_cur, e_cur, score, pm_cur, pe_cur, statv
 
     if stats:
