@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["native", "jax"],
                     help="EM implementation: native f64 (byte-exact) or "
                          "jitted device EM (multi-chip scale path)")
+    ap.add_argument("--resumeEmState", dest="resumeEmState", default=None,
+                    help="resume from a <prefix>_em_state.npz snapshot of "
+                         "a preempted run: skip EM quantification and "
+                         "restore its sufficient statistics")
     return ap
 
 
@@ -56,6 +60,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         delimiter=args.alleleDelimiter,
         allele_whitelist=args.alleleWhitelist,
         abundance_file=args.abundance,
+        em_state_file=args.resumeEmState,
         barcode_file=args.barcode[0] if args.barcode else None,
         output_read_assignment=args.outputReadAssignment,
         threads=args.threads, backend=args.backend,

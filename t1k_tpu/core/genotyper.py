@@ -468,8 +468,25 @@ class Genotyper:
         )
 
     def load_em_state(self, path: str) -> None:
+        """Resume from a save_em_state snapshot: validates the EC
+        structure of the snapshot against the current run (same reads +
+        reference => same ECs), then restores the sufficient statistics
+        without re-running EM."""
         data = np.load(path)
-        self._set_allele_abundance(data["ec_read_count"])
+        first = np.array([a[0] for a in self.ec_to_alleles], dtype=np.int64)
+        sizes = np.array([len(a) for a in self.ec_to_alleles], dtype=np.int64)
+        flat = np.array([a for lst in self.ec_to_alleles for a in lst],
+                        dtype=np.int64)
+        if (len(data["ec_read_count"]) != len(first)
+                or not np.array_equal(data["ec_first_allele"], first)
+                or not np.array_equal(data["ec_sizes"], sizes)
+                or not np.array_equal(data["ec_alleles"], flat)):
+            raise ValueError(
+                f"EM snapshot {path} was built from different equivalence "
+                "classes (different reads or reference); cannot resume")
+        self._last_ec_read_count = np.asarray(data["ec_read_count"],
+                                              dtype=np.float64)
+        self._set_allele_abundance(self._last_ec_read_count)
 
     def init_abundance_from_file(self, path: str) -> None:
         """Bypass EM with a kallisto-style abundance file

@@ -47,6 +47,7 @@ class GenotypeOptions:
     delimiter: str = ""
     allele_whitelist: Optional[str] = None
     abundance_file: Optional[str] = None
+    em_state_file: Optional[str] = None  # resume EM from a prior snapshot
     barcode_file: Optional[str] = None
     output_read_assignment: bool = False
     threads: int = 1
@@ -253,6 +254,11 @@ def run_genotyper(
     if opts.abundance_file:
         genotyper.init_abundance_from_file(opts.abundance_file)
         em_iters = 0
+    elif opts.em_state_file:
+        genotyper.load_em_state(opts.em_state_file)
+        em_iters = 0
+        log("Resumed EM sufficient statistics from "
+            f"{opts.em_state_file}; skipping quantification.")
     else:
         with stage("em_quantification") as ctx:
             em_iters = genotyper.quantify()

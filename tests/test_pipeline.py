@@ -228,3 +228,39 @@ def test_error_read_assigns_to_true_allele():
     assert assigned_true >= int(0.9 * len(truths)), (
         f"only {assigned_true}/{len(truths)} error-reads assigned to "
         "their source allele")
+
+
+def test_em_state_snapshot_resume(tmp_path):
+    """Preemption tolerance (SURVEY.md §5): a run's EM sufficient
+    statistics snapshot can be resumed (skipping quantification) and
+    reproduces the genotype output byte-for-byte; a snapshot from a
+    different problem is rejected."""
+    import numpy as np
+
+    p1 = os.path.join(DATA_DIR, "rna_1.fq")
+    p2 = os.path.join(DATA_DIR, "rna_2.fq")
+    ref = CASES["rna"]["ref"]
+    if not os.path.exists(ref):
+        pytest.skip(f"reference database not available: {ref}")
+
+    first = str(tmp_path / "first")
+    run_genotyper(ref, [p1], [p2], first, GenotypeOptions())
+    snap = first + "_em_state.npz"
+    assert os.path.exists(snap)
+
+    resumed = str(tmp_path / "resumed")
+    res = run_genotyper(ref, [p1], [p2], resumed,
+                        GenotypeOptions(em_state_file=snap))
+    assert res.em_iterations == 0
+    with open(first + "_genotype.tsv") as f, \
+            open(resumed + "_genotype.tsv") as g:
+        assert f.read() == g.read()
+
+    # corrupt the EC structure -> must refuse to resume
+    data = dict(np.load(snap))
+    data["ec_sizes"] = data["ec_sizes"] + 1
+    bad = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad, **data)
+    with pytest.raises(ValueError, match="different equivalence"):
+        run_genotyper(ref, [p1], [p2], str(tmp_path / "x"),
+                      GenotypeOptions(em_state_file=bad))
