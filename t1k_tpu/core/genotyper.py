@@ -254,6 +254,20 @@ class Genotyper:
         del n_rows
         return ret
 
+    def adopt_coalesced(self, coalesced: dict, assigned_cnt: int) -> int:
+        """Adopt read groups coalesced inside the native engine
+        (NativeEngine.fragment_batch_coalesced) — same semantics and
+        iteration order as coalesce_arrays, with the per-record staging
+        and grouping kept engine-side."""
+        self._flat_allele = coalesced["allele"]
+        self._flat_start = coalesced["start"]
+        self._flat_end = coalesced["end"]
+        self._flat_weight = coalesced["weight"]
+        self._flat_qual = coalesced["qual"]
+        self._flat_adjust = coalesced["adjust"]
+        self._grp_off = coalesced["goff"]
+        return assigned_cnt
+
     @staticmethod
     def _same_assignment(a: List[ReadAssignment], b: List[ReadAssignment]) -> bool:
         if len(a) != len(b):

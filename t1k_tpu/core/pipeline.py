@@ -225,11 +225,23 @@ def run_genotyper(
             else np.full(read_cnt, -1, dtype=np.int64))
 
     with stage("fragment_assignment") as sctx:
-        frag_rec, frag_counts, aligned_flags_arr = engine.fragment_batch(
-            uid1, uid2, has_n, has_mate, opts.max_assign_cnt,
-            whitelist if whitelist is not None else None)
+        frag_rec = frag_counts = None
+        if opts.output_read_assignment:
+            # the per-fragment records must cross into Python for the
+            # assignment dump; coalesce host-side
+            frag_rec, frag_counts, aligned_flags_arr = engine.fragment_batch(
+                uid1, uid2, has_n, has_mate, opts.max_assign_cnt,
+                whitelist if whitelist is not None else None)
+            aligned_fragment_cnt = genotyper.coalesce_arrays(
+                frag_rec, frag_counts)
+        else:
+            coalesced, assigned_cnt, frag_counts, aligned_flags_arr = (
+                engine.fragment_batch_coalesced(
+                    uid1, uid2, has_n, has_mate, opts.max_assign_cnt,
+                    whitelist if whitelist is not None else None))
+            aligned_fragment_cnt = genotyper.adopt_coalesced(
+                coalesced, assigned_cnt)
         aligned_flags = aligned_flags_arr.tolist()
-        aligned_fragment_cnt = genotyper.coalesce_arrays(frag_rec, frag_counts)
         pos_weight = engine.pos_weight()
         genotyper.finalize(pos_weight, packed)
         sctx["fragment_count"] = read_cnt

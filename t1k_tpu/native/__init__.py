@@ -63,6 +63,16 @@ _lib.t1k_fragment_batch.argtypes = [
 _lib.t1k_screen_batch.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, ct.c_int64, _c_u8p,
 ]
+_c_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_lib.t1k_coalesce_batch.restype = ct.c_int64
+_lib.t1k_coalesce_batch.argtypes = [ct.c_void_p]
+_lib.t1k_coalesce_dims.argtypes = [
+    ct.c_void_p, ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+]
+_lib.t1k_coalesce_fetch.argtypes = [
+    ct.c_void_p, _c_i64p, _c_i64p, _c_i64p, _c_i64p, _c_f32p, _c_f32p,
+    _c_f32p,
+]
 _lib.t1k_align_global.restype = ct.c_int32
 _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
@@ -301,6 +311,56 @@ class NativeEngine:
         counts = packed >> 1
         flags = (packed & 1).astype(bool)
         return rec, counts, flags
+
+    def fragment_batch_coalesced(
+        self,
+        uid1: np.ndarray,
+        uid2: np.ndarray,
+        has_n: np.ndarray,
+        paired: bool,
+        max_assign_cnt: int = 2000,
+        whitelist=None,
+    ):
+        """fragment_batch + engine-side read-group coalescing: the 6-double
+        per-record staging never crosses into Python (at scale it is the
+        bulk of the fragment stage's host time).  Returns
+        (coalesced dict of flat group-CSR arrays, assigned_fragment_cnt,
+        counts [F], flags [F])."""
+        n = len(uid1)
+        wl = None
+        if whitelist is not None:
+            wl = np.ascontiguousarray(whitelist, dtype=np.uint8)
+        _lib.t1k_fragment_batch(
+            self._handle,
+            np.ascontiguousarray(uid1, dtype=np.int64),
+            np.ascontiguousarray(uid2, dtype=np.int64),
+            np.ascontiguousarray(has_n, dtype=np.uint8),
+            n, int(paired), max_assign_cnt,
+            wl.ctypes.data if wl is not None else None,
+        )
+        assigned = int(_lib.t1k_coalesce_batch(self._handle))
+        packed = np.ctypeslib.as_array(
+            _lib.t1k_get_result_offsets(self._handle), shape=(n + 1,)
+        )[1:].copy()
+        counts = packed >> 1
+        flags = (packed & 1).astype(bool)
+        g = ct.c_int64()
+        r = ct.c_int64()
+        _lib.t1k_coalesce_dims(self._handle, ct.byref(g), ct.byref(r))
+        groups, rows = int(g.value), int(r.value)
+        out = {
+            "goff": np.zeros(groups + 1, np.int64),
+            "allele": np.zeros(rows, np.int64),
+            "start": np.zeros(rows, np.int64),
+            "end": np.zeros(rows, np.int64),
+            "weight": np.zeros(rows, np.float32),
+            "qual": np.zeros(rows, np.float32),
+            "adjust": np.zeros(rows, np.float32),
+        }
+        _lib.t1k_coalesce_fetch(
+            self._handle, out["goff"], out["allele"], out["start"],
+            out["end"], out["weight"], out["qual"], out["adjust"])
+        return out, assigned, counts, flags
 
     def pos_weight(self) -> np.ndarray:
         """Per-base coverage counts, shape [total_len, 4] (view copy)."""

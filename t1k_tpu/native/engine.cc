@@ -421,6 +421,14 @@ struct Engine {
   std::vector<int64_t> resultOffsets;
   std::vector<std::vector<Overlap>> lastAssign;  // per unique read
 
+  // Coalesced read groups (t1k_coalesce_batch staging).
+  struct {
+    std::vector<int64_t> goff;                 // [G+1] row offsets
+    std::vector<int64_t> allele, start, end;   // [rows]
+    std::vector<float> weight, qual, adjust;   // [rows]
+    int64_t assignedFragments = 0;
+  } coalesced;
+
   AlignScratch scratch;
 
   Engine(int k) : index(k) {}
@@ -2372,6 +2380,128 @@ int64_t t1k_fragment_batch(void* ep, const int64_t* uid1, const int64_t* uid2,
     for (int64_t c : shardCounts[t]) eng.resultOffsets.push_back(c);
   }
   return (int64_t)(eng.results.size() / 6);
+}
+
+// Coalesce the staged fragment records into weighted read groups
+// (Genotyper.hpp:841-908): fragments whose sorted (allele, qual) vector
+// is identical merge into one group, float32 weights accumulating in
+// fragment order, with the reference's min-start / quirky-end span
+// updates (a smaller incoming end stores the incoming *start*,
+// Genotyper.hpp:893-894).  Groups are emitted in first-appearance
+// order; fingerprint collisions resolve by exact vector comparison
+// like the reference.  Returns the assigned-fragment count.
+int64_t t1k_coalesce_batch(void* ep) {
+  auto& eng = *static_cast<t1k::Engine*>(ep);
+  auto& cb = eng.coalesced;
+  cb.goff.clear();
+  cb.allele.clear();
+  cb.start.clear();
+  cb.end.clear();
+  cb.weight.clear();
+  cb.qual.clear();
+  cb.adjust.clear();
+  cb.assignedFragments = 0;
+  cb.goff.push_back(0);
+
+  const double* R = eng.results.data();
+  const int64_t F = (int64_t)eng.resultOffsets.size() - 1;
+  std::unordered_map<uint64_t, std::vector<int32_t>> fpToGroups;
+  std::vector<int32_t> idx;
+  int64_t rowBase = 0;
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t m = eng.resultOffsets[f + 1] >> 1;
+    const double* rows = R + rowBase * 6;
+    rowBase += m;
+    if (m == 0) continue;
+    ++cb.assignedFragments;
+    idx.resize(m);
+    for (int64_t i = 0; i < m; ++i) idx[i] = (int32_t)i;
+    std::stable_sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+      return rows[a * 6] < rows[b * 6];
+    });
+    // FNV-1a over the sorted (allele, qual-bits) vector
+    uint64_t h = 1469598103934665603ull;
+    auto mix = [&h](uint64_t v) {
+      h ^= v;
+      h *= 1099511628211ull;
+    };
+    for (int64_t i = 0; i < m; ++i) {
+      const double* r = rows + idx[i] * 6;
+      mix((uint64_t)(int64_t)r[0]);
+      float q = (float)r[5];
+      uint32_t qb;
+      memcpy(&qb, &q, sizeof qb);
+      mix(qb);
+    }
+    int32_t grp = -1;
+    auto it = fpToGroups.find(h);
+    if (it != fpToGroups.end()) {
+      for (int32_t g : it->second) {
+        const int64_t gs = cb.goff[g];
+        if (cb.goff[g + 1] - gs != m) continue;
+        bool same = true;
+        for (int64_t i = 0; i < m; ++i) {
+          const double* r = rows + idx[i] * 6;
+          if (cb.allele[gs + i] != (int64_t)r[0] ||
+              cb.qual[gs + i] != (float)r[5]) {
+            same = false;
+            break;
+          }
+        }
+        if (same) {
+          grp = g;
+          break;
+        }
+      }
+    }
+    if (grp == -1) {
+      grp = (int32_t)(cb.goff.size() - 1);
+      for (int64_t i = 0; i < m; ++i) {
+        const double* r = rows + idx[i] * 6;
+        cb.allele.push_back((int64_t)r[0]);
+        cb.start.push_back((int64_t)r[1]);
+        cb.end.push_back((int64_t)r[2]);
+        cb.weight.push_back((float)r[3]);
+        cb.adjust.push_back((float)r[4]);
+        cb.qual.push_back((float)r[5]);
+      }
+      cb.goff.push_back((int64_t)cb.allele.size());
+      fpToGroups[h].push_back(grp);
+    } else {
+      const int64_t gs = cb.goff[grp];
+      for (int64_t i = 0; i < m; ++i) {
+        const double* r = rows + idx[i] * 6;
+        if ((float)r[5] == 1.0f) {
+          const int64_t s = (int64_t)r[1], e = (int64_t)r[2];
+          if (s < cb.start[gs + i]) cb.start[gs + i] = s;
+          // reference quirk: smaller end stores the incoming start
+          if (e < cb.end[gs + i]) cb.end[gs + i] = s;
+        }
+        cb.weight[gs + i] += (float)r[3];
+        cb.adjust[gs + i] += (float)r[4];
+      }
+    }
+  }
+  return cb.assignedFragments;
+}
+
+void t1k_coalesce_dims(void* ep, int64_t* groups, int64_t* rows) {
+  auto& cb = static_cast<t1k::Engine*>(ep)->coalesced;
+  *groups = (int64_t)cb.goff.size() - 1;
+  *rows = (int64_t)cb.allele.size();
+}
+
+void t1k_coalesce_fetch(void* ep, int64_t* goff, int64_t* allele,
+                        int64_t* start, int64_t* end, float* weight,
+                        float* qual, float* adjust) {
+  auto& cb = static_cast<t1k::Engine*>(ep)->coalesced;
+  memcpy(goff, cb.goff.data(), cb.goff.size() * sizeof(int64_t));
+  memcpy(allele, cb.allele.data(), cb.allele.size() * sizeof(int64_t));
+  memcpy(start, cb.start.data(), cb.start.size() * sizeof(int64_t));
+  memcpy(end, cb.end.data(), cb.end.size() * sizeof(int64_t));
+  memcpy(weight, cb.weight.data(), cb.weight.size() * sizeof(float));
+  memcpy(qual, cb.qual.data(), cb.qual.size() * sizeof(float));
+  memcpy(adjust, cb.adjust.data(), cb.adjust.size() * sizeof(float));
 }
 
 }  // extern "C"

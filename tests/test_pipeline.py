@@ -264,3 +264,55 @@ def test_em_state_snapshot_resume(tmp_path):
     with pytest.raises(ValueError, match="different equivalence"):
         run_genotyper(ref, [p1], [p2], str(tmp_path / "x"),
                       GenotypeOptions(em_state_file=bad))
+
+
+@pytest.mark.parametrize("threads", [1, 8])
+def test_engine_coalesce_matches_host(threads):
+    """fragment_batch_coalesced (engine-side read-group coalescing,
+    engine.cc t1k_coalesce_batch) must reproduce exactly the flat group
+    CSR that the host path (fragment_batch -> Genotyper.coalesce_arrays)
+    builds: same group order, spans, float32 weight accumulation, and
+    per-fragment counts/flags — at 1 and 8 engine threads."""
+    import numpy as np
+
+    from t1k_tpu.constants import GENOTYPER_KMER_LENGTH
+    from t1k_tpu.core.genotyper import Genotyper
+    from t1k_tpu.core.pipeline import assign_unique_reads
+    from t1k_tpu.io.reads import read_seq_files
+    from t1k_tpu.io.refset import RefSet
+    from t1k_tpu.native import NativeEngine
+
+    ref = CASES["rna"]["ref"]
+    if not os.path.exists(ref):
+        pytest.skip("reference database not available")
+    seqs1 = [r.seq for r in read_seq_files([os.path.join(DATA_DIR, "rna_1.fq")])]
+    seqs2 = [r.seq for r in read_seq_files([os.path.join(DATA_DIR, "rna_2.fq")])]
+
+    refset = RefSet.from_fasta(ref, -1, "")
+    engine = NativeEngine(refset.packed(), GENOTYPER_KMER_LENGTH,
+                          threads=threads)
+    _, group_of, _, _ = assign_unique_reads(engine, seqs1 + seqs2,
+                                            store_results=False)
+    n = len(seqs1)
+    has_n = np.array([("N" in a) or ("N" in b)
+                      for a, b in zip(seqs1, seqs2)], dtype=np.uint8)
+    uid1, uid2 = group_of[:n], group_of[n:]
+
+    rec, counts_h, flags_h = engine.fragment_batch(uid1, uid2, has_n, True)
+    host = Genotyper(refset)
+    cnt_h = host.coalesce_arrays(rec, counts_h)
+
+    coalesced, cnt_e, counts_e, flags_e = engine.fragment_batch_coalesced(
+        uid1, uid2, has_n, True)
+    eng = Genotyper(refset)
+    eng.adopt_coalesced(coalesced, cnt_e)
+
+    assert cnt_h == cnt_e and cnt_h > 0
+    np.testing.assert_array_equal(counts_h, counts_e)
+    np.testing.assert_array_equal(flags_h, flags_e)
+    np.testing.assert_array_equal(host._grp_off, eng._grp_off)
+    for attr in ("_flat_allele", "_flat_start", "_flat_end",
+                 "_flat_weight", "_flat_qual", "_flat_adjust"):
+        a, b = getattr(host, attr), getattr(eng, attr)
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b, err_msg=attr)
