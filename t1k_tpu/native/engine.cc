@@ -1274,8 +1274,22 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
       int32_t tLen, rs, re;
       int32_t walkIdx;
     };
+    // Cached walks also carry flat replay arrays built lazily on first
+    // use: the coverage scatter becomes a branch-free stream of packed
+    // (4*refOff + readBase) adds and the exon-relaxed recount a stream
+    // of (refOff<<1 | isMatch) lookups — identical results to walking
+    // the edit string, ~3x fewer instructions per op.  Valid because
+    // the cache key (window bytes, readStart, readEnd) pins both the
+    // edit walk and the read bases within one read.
+    struct WalkData {
+      std::vector<int8_t> edits;
+      std::vector<uint32_t> scatter;  // 4*refOff + base, match ops only
+      std::vector<uint32_t> relax;    // refOff<<1 | (op == match)
+      bool scatterBuilt = false;
+      bool relaxBuilt = false;
+    };
     static thread_local std::vector<WalkSlot> walkSlots(1 << 12);
-    static thread_local std::vector<std::vector<int8_t>> walkArena;
+    static thread_local std::vector<WalkData> walkArena;
     static thread_local uint32_t walkGen = 0;
     ++walkGen;
     size_t walkUsed = 0;
@@ -1311,9 +1325,11 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
           sl.re = e.readEnd;
           if (walkUsed == walkArena.size()) walkArena.emplace_back();
           sl.walkIdx = (int32_t)walkUsed++;
+          WalkData& wd = walkArena[sl.walkIdx];
+          wd.scatterBuilt = wd.relaxBuilt = false;
           BandedGlobalAlign(t, spanT, r + e.readStart,
-                            e.readEnd - e.readStart + 1, 5,
-                            &walkArena[sl.walkIdx], scratch);
+                            e.readEnd - e.readStart + 1, 5, &wd.edits,
+                            scratch);
           widx = sl.walkIdx;
           if (profOn) ++gProf.walkComputes;
           break;
@@ -1333,20 +1349,40 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
                           e.readEnd - e.readStart + 1, 5, &overflow, scratch);
       }
       const std::vector<int8_t>& edits =
-          widx >= 0 ? walkArena[widx] : overflow;
+          widx >= 0 ? walkArena[widx].edits : overflow;
       const uint8_t* exon = eng.exonMask + eng.SeqStart(e.seq);
       const int seqLenClamp = eng.SeqLen(e.seq) - 1;
       if (eng.relaxIntron) {
         int match = 0;
-        int refPos = e.seqStart;
-        for (int8_t op : edits) {
-          // clamp guards a trailing-insert edge the reference reads OOB on
-          if (exon[refPos <= seqLenClamp ? refPos : seqLenClamp]) {
-            if (op == kEditMatch) ++match;
-          } else {
-            ++match;
+        if (widx >= 0) {
+          WalkData& wd = walkArena[widx];
+          if (!wd.relaxBuilt) {
+            wd.relax.clear();
+            wd.relax.reserve(wd.edits.size());
+            uint32_t off = 0;
+            for (int8_t op : wd.edits) {
+              wd.relax.push_back((off << 1) | (op == kEditMatch ? 1u : 0u));
+              if (op != kEditInsert) ++off;
+            }
+            wd.relaxBuilt = true;
           }
-          if (op != kEditInsert) ++refPos;
+          const uint8_t* exonS = exon + e.seqStart;
+          // clamp guards a trailing-insert edge the reference reads OOB on
+          const uint32_t maxOff = (uint32_t)(seqLenClamp - e.seqStart);
+          for (uint32_t rk : wd.relax) {
+            uint32_t off = rk >> 1;
+            match += exonS[off <= maxOff ? off : maxOff] ? (int)(rk & 1) : 1;
+          }
+        } else {
+          int refPos = e.seqStart;
+          for (int8_t op : edits) {
+            if (exon[refPos <= seqLenClamp ? refPos : seqLenClamp]) {
+              if (op == kEditMatch) ++match;
+            } else {
+              ++match;
+            }
+            if (op != kEditInsert) ++refPos;
+          }
         }
         e.relaxedMatchCnt = 2 * match;
       } else {
@@ -1354,24 +1390,46 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
       }
       if (weight > 0) {
         if (profOn) gProf.scatterOps += (int64_t)edits.size();
-        int refPos = e.seqStart, readPos = e.readStart;
         int32_t* pw = eng.posWeight.data() + 4 * eng.SeqStart(e.seq);
-        if (eng.nThreads <= 1) {
-          // single-threaded: plain adds skip the lock prefix — this
-          // scatter runs once per near-best allele per read (~1e9 adds
-          // at HLA scale)
-          for (int8_t op : edits) {
-            if (op == kEditMatch && r[readPos] < 4)
-              pw[4 * refPos + r[readPos]] += weight;
-            if (op != kEditInsert) ++refPos;
-            if (op != kEditDelete) ++readPos;
+        if (widx >= 0) {
+          WalkData& wd = walkArena[widx];
+          if (!wd.scatterBuilt) {
+            wd.scatter.clear();
+            uint32_t refPos = 0;
+            int readPos = e.readStart;
+            for (int8_t op : wd.edits) {
+              if (op == kEditMatch && r[readPos] < 4)
+                wd.scatter.push_back(4u * refPos + (uint32_t)r[readPos]);
+              if (op != kEditInsert) ++refPos;
+              if (op != kEditDelete) ++readPos;
+            }
+            wd.scatterBuilt = true;
+          }
+          int32_t* target = pw + 4 * e.seqStart;
+          if (eng.nThreads <= 1) {
+            // single-threaded: plain adds skip the lock prefix — this
+            // scatter runs once per near-best allele per read (~1e9
+            // adds at HLA scale)
+            for (uint32_t pk : wd.scatter) target[pk] += weight;
+          } else {
+            for (uint32_t pk : wd.scatter) AtomicAdd(&target[pk], weight);
           }
         } else {
-          for (int8_t op : edits) {
-            if (op == kEditMatch && r[readPos] < 4)
-              AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
-            if (op != kEditInsert) ++refPos;
-            if (op != kEditDelete) ++readPos;
+          int refPos = e.seqStart, readPos = e.readStart;
+          if (eng.nThreads <= 1) {
+            for (int8_t op : edits) {
+              if (op == kEditMatch && r[readPos] < 4)
+                pw[4 * refPos + r[readPos]] += weight;
+              if (op != kEditInsert) ++refPos;
+              if (op != kEditDelete) ++readPos;
+            }
+          } else {
+            for (int8_t op : edits) {
+              if (op == kEditMatch && r[readPos] < 4)
+                AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
+              if (op != kEditInsert) ++refPos;
+              if (op != kEditDelete) ++readPos;
+            }
           }
         }
       }
