@@ -35,6 +35,18 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     from ..core.analyzer import AnalyzerOptions, run_analyzer
 
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    # "--varMaxGroup -1" (no-limit, accepted by the reference's getopt)
+    # would be read by argparse as the -1 option; fold the value in
+    argv = list(argv)
+    for i, tok in enumerate(argv[:-1]):
+        if tok == "--varMaxGroup" and argv[i + 1].lstrip("-").isdigit():
+            argv[i] = f"--varMaxGroup={argv[i + 1]}"
+            del argv[i + 1]
+            break
     args = build_parser().parse_args(argv)
     opts = AnalyzerOptions(
         ref_seq_similarity=args.similarity,

@@ -72,6 +72,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    # "--post-varMaxGroup -1" (no-limit, accepted by the reference's
+    # getopt) would be read by argparse as the -1 option; fold it in
+    argv = list(argv)
+    for i, tok in enumerate(argv[:-1]):
+        if tok == "--post-varMaxGroup" and argv[i + 1].lstrip("-").isdigit():
+            argv[i] = f"--post-varMaxGroup={argv[i + 1]}"
+            del argv[i + 1]
+            break
     args = build_parser().parse_args(argv)
 
     geno_sim = args.similarity if args.similarity is not None else 0.8

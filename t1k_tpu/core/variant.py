@@ -66,6 +66,21 @@ class BaseVariants:
         return match_cnt >= self.best_match_max[pos] - 4
 
 
+_POS_MASTER = np.arange(4096, dtype=np.int32)
+
+
+def _pos_master(n: int) -> np.ndarray:
+    """Shared int32 arange of at least n+1 elements (grown geometrically);
+    slices of it serve as position arrays for indel-free edit walks."""
+    global _POS_MASTER
+    if len(_POS_MASTER) <= n:
+        size = len(_POS_MASTER)
+        while size <= n:
+            size *= 2
+        _POS_MASTER = np.arange(size, dtype=np.int32)
+    return _POS_MASTER
+
+
 def _edit_walk_positions(align: np.ndarray, seq_start: int, read_start: int):
     """Vectorized walk: per op, the (refPos, readPos) BEFORE applying it."""
     not_ins = align != EDIT_INSERT
@@ -122,9 +137,13 @@ class VariantCaller:
             subs = np.flatnonzero(
                 (align == EDIT_MATCH) | (align == EDIT_MISMATCH))
             # the same overlap is walked once per update pass
-            # (alignment-info, then weighted) -- cache the coordinates
-            o.walk_cache = walk = (ref_pos, read_pos, subs)
-        ref_pos, read_pos, subs = walk
+            # (alignment-info, then weighted) -- cache the coordinates,
+            # plus the substitution-gathered (ref, read) positions used
+            # by the batched pass
+            o.walk_cache = walk = (ref_pos, read_pos, subs,
+                                   ref_pos[subs].astype(np.int32),
+                                   read_pos[subs].astype(np.int32))
+        ref_pos, read_pos, subs = walk[0], walk[1], walk[2]
 
         # stall detection on the unstalled coordinates: a stall at the
         # first trigger invalidates everything after it
@@ -161,9 +180,16 @@ class VariantCaller:
                     bv.best_sim[rps[eq], nucs[eq]] = o.similarity
             return
 
+        self._walk_sequential(o, r_codes, weight, filter_low_qual)
+
+    def _walk_sequential(self, o, r_codes: np.ndarray, weight: float,
+                         filter_low_qual: bool) -> None:
+        """Exact sequential walk for stalled overlaps — the reference's
+        skip-without-advance quirk (VariantCaller.hpp:139-167)."""
+        bv = self.base[o.seq_idx]
         rp = o.seq_start
         rdp = o.read_start
-        for op in align.tolist():
+        for op in o.align.tolist():
             if op == EDIT_MATCH or op == EDIT_MISMATCH:
                 if filter_low_qual and not bv.good_assignment(rp, o.match_cnt):
                     continue  # stall: no position advance
@@ -214,6 +240,191 @@ class VariantCaller:
                 self._update_from_overlap(
                     f.o1_rc if f.overlap1.strand == -1 else rc,
                     weight, filter_low_qual, f.overlap1)
+
+    def _update_all(self, all_frags: List[List], update_type: int) -> None:
+        """One full update pass over every fragment, batched.
+
+        Byte-identical to calling update_fragment per fragment, because
+        every reordered operation commutes:
+          * all count/uniq/unweighted updates are integer-valued f64
+            adds (exact at any accumulation order), and nothing reads
+            them during a pass;
+          * pass 1 (update_type=1) never reads best_* during the pass
+            (filter off), and its best updates are an order-independent
+            lexicographic (match, sim) max — deferred to a per-sequence
+            sorted reduction at the end of the pass;
+          * in pass 0 every no-stall overlap's best update is a no-op:
+            pass 1 already applied the identical (pos, nuc, match, sim)
+            tuples (a pass-0 no-stall overlap is no-stall in pass 1,
+            whose stall condition — an N substitution — is a subset of
+            pass 0's), so only the commutative count adds remain;
+          * stall detection reads live best state per overlap in
+            original order, and stalled overlaps run the exact
+            sequential walk inline — those are the only in-pass readers
+            and writers of best_*, so their interleaving is preserved.
+        """
+        # enumerate (overlap, strand-resolved read codes, weight) in
+        # fragment order, mirroring update_fragment
+        items: List[Tuple] = []
+        for frags in all_frags:
+            if not frags:
+                continue
+            r1_codes, r2_codes = frags[0].r1_codes, frags[0].r2_codes
+            total = 0.0
+            for f in frags:
+                total += self.seq_abundance[f.seq_idx]
+            for f in frags:
+                weight = self.seq_abundance[f.seq_idx] / total if total else 0.0
+                if update_type == 1:
+                    weight = 0.0
+                if f.has_mate_pair:
+                    items.append((f.overlap1, f.o1_rc if f.overlap1.strand == -1
+                                  else r1_codes, weight))
+                    items.append((f.overlap2, f.o2_rc if f.overlap2.strand == -1
+                                  else r2_codes, weight))
+                else:
+                    rc = r2_codes if f.o1_from_r2 else r1_codes
+                    items.append((f.overlap1, f.o1_rc if f.overlap1.strand == -1
+                                  else rc, weight))
+        items = [it for it in items
+                 if it[0].seq_idx != -1 and it[0].align is not None]
+        if not items:
+            return
+        filter_low_qual = update_type != 1
+
+        # build missing walk caches with ONE global cumsum instead of
+        # two per overlap
+        need, seen = [], set()
+        for o, _, _ in items:
+            if o.walk_cache is None and len(o.align) and id(o) not in seen:
+                seen.add(id(o))
+                need.append(o)
+        if need:
+            # Most walks carry no indels, so every coordinate array is an
+            # arithmetic progression: serve them as VIEWS of one shared
+            # arange (zero allocation — large fresh buffers are
+            # page-fault-bound on small hosts).  Indel walks (rare) get
+            # exact per-overlap prefix sums.
+            mx = 0
+            for o in need:
+                ln = len(o.align)
+                mx = max(mx, o.seq_start + ln, o.read_start + ln)
+            master = _pos_master(mx)
+            for o in need:
+                a = o.align
+                ln = len(a)
+                if int(a.max()) < EDIT_INSERT:  # substitutions only
+                    s0, p0 = o.seq_start, o.read_start
+                    rp = master[s0:s0 + ln]
+                    pp = master[p0:p0 + ln]
+                    o.walk_cache = (rp, pp, master[:ln], rp, pp)
+                else:
+                    ref_pos, read_pos = _edit_walk_positions(
+                        a, o.seq_start, o.read_start)
+                    subs = np.flatnonzero(a <= EDIT_MISMATCH)
+                    o.walk_cache = (
+                        ref_pos, read_pos, subs,
+                        ref_pos[subs].astype(np.int32),
+                        read_pos[subs].astype(np.int32))
+
+        # global per-substitution arrays over every live item: one
+        # concatenate + one gather each instead of 3-4 numpy calls per
+        # overlap
+        live = [it for it in items
+                if it[0].walk_cache is not None and len(it[0].walk_cache[2])]
+        if not live:
+            return
+        n_live = len(live)
+        cnts = np.fromiter((len(o.walk_cache[3]) for (o, _, _) in live),
+                           np.int64, n_live)
+        bounds = np.zeros(n_live + 1, dtype=np.int64)
+        np.cumsum(cnts, out=bounds[1:])
+        g_rps = np.concatenate([o.walk_cache[3] for (o, _, _) in live])
+        rc_list = [rc for (_, rc, _) in live]
+        rlens = np.fromiter((len(rc) for rc in rc_list), np.int64, n_live)
+        rbase = np.zeros(n_live, dtype=np.int64)
+        np.cumsum(rlens[:-1], out=rbase[1:])
+        arena = np.concatenate(rc_list)
+        g_nuc = arena[np.concatenate([o.walk_cache[4] for (o, _, _) in live])
+                      + np.repeat(rbase, cnts)]
+        g_idx = g_rps * 4 + g_nuc
+        # segmented stall flags (all segments nonempty by construction)
+        bad_seg = np.logical_or.reduceat(g_nuc >= 4, bounds[:-1])
+        thr = None
+        if filter_low_qual:
+            seq_lens = np.fromiter((bv.best_match_max.shape[0]
+                                    for bv in self.base), np.int64,
+                                   len(self.base))
+            seq_off = np.zeros(len(self.base), dtype=np.int64)
+            np.cumsum(seq_lens[:-1], out=seq_off[1:])
+            g_bmm = np.concatenate([bv.best_match_max for bv in self.base])
+            item_off = np.fromiter((seq_off[o.seq_idx] for (o, _, _) in live),
+                                   np.int64, n_live)
+            thr = np.maximum.reduceat(g_bmm[g_rps + np.repeat(item_off, cnts)],
+                                      bounds[:-1])
+
+        buf_idx: Dict[int, List[np.ndarray]] = {}
+        buf_uniq: Dict[int, List[np.ndarray]] = {}
+        buf_best: Dict[int, List[Tuple[np.ndarray, int, float]]] = {}
+        dirty = False  # an inline walk may have raised best_match_max
+        for i, (o, rc, w) in enumerate(live):
+            if bad_seg[i]:
+                self._walk_sequential(o, rc, w, filter_low_qual)
+                dirty = True
+                continue
+            if filter_low_qual:
+                t = (int(self.base[o.seq_idx]
+                         .best_match_max[o.walk_cache[3]].max())
+                     if dirty else thr[i])
+                if o.match_cnt < t - 4:
+                    self._walk_sequential(o, rc, w, filter_low_qual)
+                    dirty = True
+                    continue
+            idx = g_idx[bounds[i]:bounds[i + 1]]
+            buf_idx.setdefault(o.seq_idx, []).append(idx)
+            if w == 1:
+                buf_uniq.setdefault(o.seq_idx, []).append(idx)
+            if update_type == 1:
+                buf_best.setdefault(o.seq_idx, []).append(
+                    (idx, o.match_cnt, o.similarity))
+
+        for si, lst in buf_idx.items():
+            bv = self.base[si]
+            cnt = np.bincount(np.concatenate(lst),
+                              minlength=bv.count.size).astype(np.float64)
+            cnt = cnt.reshape(-1, 4)
+            bv.count += cnt
+            bv.unweighted += cnt
+        for si, lst in buf_uniq.items():
+            bv = self.base[si]
+            cnt = np.bincount(np.concatenate(lst),
+                              minlength=bv.uniq.size).astype(np.float64)
+            bv.uniq += cnt.reshape(-1, 4)
+        for si, lst in buf_best.items():
+            bv = self.base[si]
+            # per-position lexicographic (match, sim) max: (match, sim)
+            # is constant per overlap, so writing overlaps in ascending
+            # order leaves the max as the last write per position — no
+            # big sort over individual substitutions needed
+            n4 = bv.best_match.size
+            wm = np.full(n4, -1, dtype=np.int64)
+            ws = np.zeros(n4, dtype=np.float64)
+            lst.sort(key=lambda x: (x[1], x[2]))
+            for idx, m, s in lst:
+                wm[idx] = m
+                ws[idx] = s
+            u_i = np.flatnonzero(wm >= 0)
+            u_m, u_s = wm[u_i], ws[u_i]
+            bm = bv.best_match.ravel()
+            bs = bv.best_sim.ravel()
+            gt = u_m > bm[u_i]
+            eq = (u_m == bm[u_i]) & (u_s > bs[u_i])
+            if gt.any():
+                bm[u_i[gt]] = u_m[gt]
+                bs[u_i[gt]] = u_s[gt]
+                np.maximum.at(bv.best_match_max, u_i[gt] >> 2, u_m[gt])
+            if eq.any():
+                bs[u_i[eq]] = u_s[eq]
 
     # -------------------------------------------------- candidate discovery
     def find_candidates(self) -> None:
@@ -386,8 +597,11 @@ class VariantCaller:
                     else:
                         r = f.o2_rc if o.strand == -1 else f.r2_codes
                     bv = self.base[o.seq_idx]
-                    ref_pos, read_pos = _edit_walk_positions(
-                        o.align, o.seq_start, o.read_start)
+                    if o.walk_cache is not None:
+                        ref_pos, read_pos = o.walk_cache[0], o.walk_cache[1]
+                    else:
+                        ref_pos, read_pos = _edit_walk_positions(
+                            o.align, o.seq_start, o.read_start)
                     cids = bv.candidate_id[ref_pos]
                     for idx in np.flatnonzero(cids != -1):
                         cid = int(cids[idx])
@@ -535,19 +749,15 @@ class VariantCaller:
         overlap(s) with precomputed edit walks and encoded read views."""
         if self.max_var_group == 0:
             return
-        for frags in all_frags:
-            if not frags:
-                continue
-            self.update_fragment(frags[0].r1_codes, frags[0].r2_codes, 1, frags)
-        for frags in all_frags:
-            if not frags:
-                continue
-            self.update_fragment(frags[0].r1_codes, frags[0].r2_codes, 0, frags)
+        self._update_all(all_frags, 1)
+        self._update_all(all_frags, 0)
 
         self.find_candidates()
         adj_weight: List[Dict[int, float]] = [{} for _ in self.candidate_variants]
 
-        while True:
+        # with no candidates anywhere, expansion can only no-op: it
+        # propagates existing candidates across co-aligned alleles
+        while self.candidate_variants:
             prev = len(self.candidate_variants)
             for d in adj_weight:
                 d.clear()
@@ -613,8 +823,11 @@ class VariantCaller:
                 else:
                     r = f.o2_rc if o.strand == -1 else f.r2_codes
                 bv = self.base[o.seq_idx]
-                ref_pos, read_pos = _edit_walk_positions(
-                    o.align, o.seq_start, o.read_start)
+                if o.walk_cache is not None:
+                    ref_pos, read_pos = o.walk_cache[0], o.walk_cache[1]
+                else:
+                    ref_pos, read_pos = _edit_walk_positions(
+                        o.align, o.seq_start, o.read_start)
                 mism = o.align == EDIT_MISMATCH
                 for idx in np.flatnonzero(mism):
                     vids = bv.final_variant_ids.get(int(ref_pos[idx]), [])
