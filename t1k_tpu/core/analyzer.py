@@ -15,7 +15,7 @@ import numpy as np
 from ..constants import GENOTYPER_KMER_LENGTH, encode_seq, revcomp_codes
 from ..io.reads import read_seq_files
 from ..io.refset import RefSet
-from ..native import NativeEngine, align_global
+from ..native import NativeEngine, align_global_batch
 from .fragment import RefContext, fragment_assign, set_read_assignments
 from .genotyper import Genotyper, GenotyperConfig
 from ..utils.observability import metrics, stage
@@ -73,21 +73,29 @@ class _AnalyzerFragment:
         self.read_len2 = len(r2_codes) if r2_codes is not None else 0
 
 
-def _add_alignment_info(frag: "_AnalyzerFragment", refset) -> None:
-    """Full-span edit walks for each overlap (SeqSet.hpp:2657-2680)."""
-    def one(o: _AnalyzerOverlap, codes: np.ndarray):
+def _add_alignment_info_batch(frags_lists, refset) -> None:
+    """Full-span edit walks for every overlap (SeqSet.hpp:2657-2680),
+    all DP calls batched into one native call."""
+    t_parts, p_parts, targets = [], [], []
+
+    def enqueue(o: _AnalyzerOverlap, codes: np.ndarray):
         r = revcomp_codes(codes) if o.strand == -1 else codes
-        t = refset.alleles[o.seq_idx].codes[o.seq_start:o.seq_end + 1]
-        _, edits = align_global(t, r[o.read_start:o.read_end + 1])
-        o.align = np.asarray(edits, dtype=np.int8)
+        t_parts.append(
+            refset.alleles[o.seq_idx].codes[o.seq_start:o.seq_end + 1])
+        p_parts.append(r[o.read_start:o.read_end + 1])
+        targets.append(o)
         return r if o.strand == -1 else None
 
-    if frag.has_mate_pair:
-        frag.o1_rc = one(frag.overlap1, frag.r1_codes)
-        frag.o2_rc = one(frag.overlap2, frag.r2_codes)
-    else:
-        codes = frag.r2_codes if frag.o1_from_r2 else frag.r1_codes
-        frag.o1_rc = one(frag.overlap1, codes)
+    for frags in frags_lists:
+        for frag in frags:
+            if frag.has_mate_pair:
+                frag.o1_rc = enqueue(frag.overlap1, frag.r1_codes)
+                frag.o2_rc = enqueue(frag.overlap2, frag.r2_codes)
+            else:
+                codes = frag.r2_codes if frag.o1_from_r2 else frag.r1_codes
+                frag.o1_rc = enqueue(frag.overlap1, codes)
+    for o, edits in zip(targets, align_global_batch(t_parts, p_parts)):
+        o.align = edits
 
 
 def run_analyzer(
@@ -191,11 +199,9 @@ def run_analyzer(
     log(f"Finish allele quantification in {em_iters} EM iterations.")
 
     with stage("alignment_info", fragment_count=aligned_cnt):
-        for i in range(read_cnt):
-            if not aligned_flags[i]:
-                continue
-            for frag in fragment_assignments[i]:
-                _add_alignment_info(frag, refset)
+        _add_alignment_info_batch(
+            (fragment_assignments[i] for i in range(read_cnt)
+             if aligned_flags[i]), refset)
 
     vc = VariantCaller(refset, packed, opts.var_max_group)
     vc.set_seq_abundance(genotyper)

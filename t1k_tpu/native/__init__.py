@@ -77,6 +77,10 @@ _lib.t1k_align_global.restype = ct.c_int32
 _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
 ]
+_lib.t1k_align_global_batch.argtypes = [
+    _c_i8p, _c_i64p, _c_i32p, _c_i8p, _c_i64p, _c_i32p, _c_i64p,
+    ct.c_int64, ct.c_int32, _c_i8p, _c_i32p,
+]
 _lib.t1k_engine_set_store_results.argtypes = [ct.c_void_p, ct.c_int32]
 _lib.t1k_defer_reserve.argtypes = [ct.c_void_p, ct.c_int64]
 _lib.t1k_defer_set_base.argtypes = [ct.c_void_p, ct.c_int64]
@@ -110,6 +114,31 @@ ASSIGN_FIELDS = (
     "match_cnt", "relaxed_match_cnt", "similarity", "left_clip", "right_clip",
 )
 N_ASSIGN_FIELDS = len(ASSIGN_FIELDS)
+
+
+def align_global_batch(ts, ps, band: int = 5):
+    """Banded global alignment of many (text, pattern) pairs in one
+    native call; returns a list of edit-walk int8 arrays (views into one
+    shared buffer)."""
+    n = len(ts)
+    if n == 0:
+        return []
+    tlen = np.array([len(t) for t in ts], dtype=np.int32)
+    plen = np.array([len(p) for p in ps], dtype=np.int32)
+    toff = np.zeros(n, dtype=np.int64)
+    np.cumsum(tlen[:-1], dtype=np.int64, out=toff[1:])
+    poff = np.zeros(n, dtype=np.int64)
+    np.cumsum(plen[:-1], dtype=np.int64, out=poff[1:])
+    tcat = np.ascontiguousarray(np.concatenate(ts), dtype=np.int8)
+    pcat = np.ascontiguousarray(np.concatenate(ps), dtype=np.int8)
+    cap = tlen.astype(np.int64) + plen + 3
+    aoff = np.zeros(n, dtype=np.int64)
+    np.cumsum(cap[:-1], out=aoff[1:])
+    acat = np.empty(int(cap.sum()), dtype=np.int8)
+    alens = np.zeros(n, dtype=np.int32)
+    _lib.t1k_align_global_batch(tcat, toff, tlen, pcat, poff, plen,
+                                aoff, n, band, acat, alens)
+    return [acat[aoff[i]:aoff[i] + alens[i]] for i in range(n)]
 
 
 def align_global(t: np.ndarray, p: np.ndarray, band: int = 5) -> Tuple[int, np.ndarray]:

@@ -2133,6 +2133,25 @@ int32_t t1k_align_global(const int8_t* t, int32_t lent, const int8_t* p,
   return score;
 }
 
+// Batched banded global alignments: pair i aligns tcat[toff[i] ..
+// toff[i]+tlen[i]) against pcat[poff[i] .. poff[i]+plen[i]); the edit
+// walk is written at align_cat[aoff[i]] (caller reserves
+// tlen[i]+plen[i]+3 per pair) and its length at alens[i].
+void t1k_align_global_batch(const int8_t* tcat, const int64_t* toff,
+                            const int32_t* tlen, const int8_t* pcat,
+                            const int64_t* poff, const int32_t* plen,
+                            const int64_t* aoff, int64_t n, int32_t band,
+                            int8_t* align_cat, int32_t* alens) {
+  t1k::AlignScratch scr;
+  std::vector<int8_t> edits;
+  for (int64_t i = 0; i < n; ++i) {
+    t1k::BandedGlobalAlign(tcat + toff[i], tlen[i], pcat + poff[i], plen[i],
+                           band, &edits, &scr);
+    std::memcpy(align_cat + aoff[i], edits.data(), edits.size());
+    alens[i] = (int32_t)edits.size();
+  }
+}
+
 }  // extern "C"
 
 // --------------------------------------------------------- fragment stage
