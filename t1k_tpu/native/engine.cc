@@ -2214,6 +2214,37 @@ static float FragWeight(double similarity, double refSim, bool hasN) {
   return (float)ret;
 }
 
+// Per-thread scratch for FragmentAssign: generation-stamped flat arrays
+// replace per-fragment hash maps (the maps' alloc/clear/hash overhead
+// dominated the fragment stage at scale); iteration orders are
+// identical (insertion-ordered per-seq chains, first-seen assign slots).
+struct FragScratch {
+  std::vector<uint32_t> stampJ, stampA;  // per-seq generation marks
+  std::vector<int32_t> head, tail;       // per-seq chain of o2 indices
+  std::vector<int32_t> assignAt;         // per-seq slot in `assign`
+  std::vector<int32_t> nxt;              // chain links, per o2 index
+  std::vector<FragRec> assign;
+  uint32_t gen = 0;
+
+  void Begin(int64_t nSeqs, size_t o2cnt) {
+    if ((int64_t)stampJ.size() < nSeqs) {
+      stampJ.assign(nSeqs, 0);
+      stampA.assign(nSeqs, 0);
+      head.resize(nSeqs);
+      tail.resize(nSeqs);
+      assignAt.resize(nSeqs);
+      gen = 0;
+    }
+    if (nxt.size() < o2cnt) nxt.resize(o2cnt);
+    if (++gen == 0) {
+      std::fill(stampJ.begin(), stampJ.end(), 0u);
+      std::fill(stampA.begin(), stampA.end(), 0u);
+      gen = 1;
+    }
+    assign.clear();
+  }
+};
+
 // Returns kept fragment records for one fragment (read pair).
 static void FragmentAssign(const Engine& eng,
                            const std::vector<Overlap>* ov1,
@@ -2226,20 +2257,30 @@ static void FragmentAssign(const Engine& eng,
   const std::vector<Overlap>& o1v = ov1 ? *ov1 : kEmpty;
   const std::vector<Overlap>& o2v = (paired && ov2) ? *ov2 : kEmpty;
 
+  static thread_local FragScratch fs;
+  fs.Begin(eng.nSeqs, o2v.size());
+
   if (!paired) {
     for (int i = 0; i < (int)o1v.size(); ++i) fragments.push_back({i, -1});
   } else if (o1v.empty() || o2v.empty()) {
     for (int i = 0; i < (int)o1v.size(); ++i) fragments.push_back({i, -1});
     for (int j = 0; j < (int)o2v.size(); ++j) fragments.push_back({-1, j});
   } else {
-    static thread_local std::unordered_map<int, std::vector<int>> seqToJ;
-    seqToJ.clear();
-    for (int j = 0; j < (int)o2v.size(); ++j)
-      seqToJ[o2v[j].seq].push_back(j);
+    for (int j = 0; j < (int)o2v.size(); ++j) {
+      const int s = o2v[j].seq;
+      if (fs.stampJ[s] != fs.gen) {
+        fs.stampJ[s] = fs.gen;
+        fs.head[s] = j;
+      } else {
+        fs.nxt[fs.tail[s]] = j;
+      }
+      fs.tail[s] = j;
+      fs.nxt[j] = -1;
+    }
     for (int i = 0; i < (int)o1v.size(); ++i) {
-      auto it = seqToJ.find(o1v[i].seq);
-      if (it == seqToJ.end()) continue;
-      for (int j : it->second) {
+      const int s = o1v[i].seq;
+      if (fs.stampJ[s] != fs.gen) continue;
+      for (int j = fs.head[s]; j != -1; j = fs.nxt[j]) {
         if (o1v[i].strand == o2v[j].strand) continue;
         if ((o1v[i].strand == 1 && o1v[i].seqStart < o2v[j].seqStart) ||
             (o1v[i].strand == -1 && o1v[i].seqStart > o2v[j].seqStart))
@@ -2248,8 +2289,7 @@ static void FragmentAssign(const Engine& eng,
     }
   }
 
-  std::vector<FragRec> assign;
-  std::unordered_map<int, int> seqIdxToAssign;
+  std::vector<FragRec>& assign = fs.assign;
   for (auto [fi, fj] : fragments) {
     FragRec rec;
     if (fi >= 0) {
@@ -2278,11 +2318,12 @@ static void FragmentAssign(const Engine& eng,
     } else {
       continue;
     }
-    auto it = seqIdxToAssign.find(rec.seq);
-    if (it != seqIdxToAssign.end()) {
-      if (FragBetter(rec, assign[it->second])) assign[it->second] = rec;
+    if (fs.stampA[rec.seq] == fs.gen) {
+      FragRec& cur = assign[fs.assignAt[rec.seq]];
+      if (FragBetter(rec, cur)) cur = rec;
     } else {
-      seqIdxToAssign[rec.seq] = (int)assign.size();
+      fs.stampA[rec.seq] = fs.gen;
+      fs.assignAt[rec.seq] = (int)assign.size();
       assign.push_back(rec);
     }
   }
@@ -2355,7 +2396,7 @@ static void FragmentAssign(const Engine& eng,
       if (o.matchCnt > rep->o1->matchCnt ||
           (o.matchCnt == rep->o1->matchCnt &&
            o.similarity > rep->o1->similarity &&
-           seqIdxToAssign.find(o.seq) == seqIdxToAssign.end())) {
+           fs.stampA[o.seq] != fs.gen)) {
         if (TruncatedMate(eng, o, *rep->o1, *rep->o2)) filt = true;
         else if (o.similarity > rep->o2->similarity + 0.1) filt = true;
       }
@@ -2365,7 +2406,7 @@ static void FragmentAssign(const Engine& eng,
       if (o.matchCnt > rep->o2->matchCnt ||
           (o.matchCnt == rep->o2->matchCnt &&
            o.similarity > rep->o2->similarity &&
-           seqIdxToAssign.find(o.seq) == seqIdxToAssign.end())) {
+           fs.stampA[o.seq] != fs.gen)) {
         if (TruncatedMate(eng, o, *rep->o2, *rep->o1)) filt = true;
         else if (o.similarity > rep->o1->similarity + 0.1) filt = true;
       }
