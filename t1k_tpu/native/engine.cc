@@ -24,6 +24,8 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <string>
 #include <unordered_map>
@@ -415,6 +417,10 @@ struct Engine {
 
   // Per-base coverage of matched read bases, [sum(len)][4].
   std::vector<int32_t> posWeight;
+  // Per-seq coverage locks for multi-threaded scatter (the reference's
+  // lockBaseCoverage, SeqSet.hpp:860-869): one lock per ~100-add walk
+  // beats a lock-prefixed add per element.
+  std::unique_ptr<std::mutex[]> seqLocks;
 
   // Result staging for the batched API.
   std::vector<double> results;
@@ -1412,7 +1418,8 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
             // adds at HLA scale)
             for (uint32_t pk : wd.scatter) target[pk] += weight;
           } else {
-            for (uint32_t pk : wd.scatter) AtomicAdd(&target[pk], weight);
+            std::lock_guard<std::mutex> lk(eng.seqLocks[e.seq]);
+            for (uint32_t pk : wd.scatter) target[pk] += weight;
           }
         } else {
           int refPos = e.seqStart, readPos = e.readStart;
@@ -1424,9 +1431,10 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
               if (op != kEditDelete) ++readPos;
             }
           } else {
+            std::lock_guard<std::mutex> lk(eng.seqLocks[e.seq]);
             for (int8_t op : edits) {
               if (op == kEditMatch && r[readPos] < 4)
-                AtomicAdd(&pw[4 * refPos + r[readPos]], weight);
+                pw[4 * refPos + r[readPos]] += weight;
               if (op != kEditInsert) ++refPos;
               if (op != kEditDelete) ++readPos;
             }
@@ -1889,6 +1897,7 @@ void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
   eng->hitLenRequired = hit_len_required;
   eng->relaxIntron = relax_intron_align != 0;
   eng->posWeight.assign((size_t)total_len * 4, 0);
+  eng->seqLocks.reset(new std::mutex[n_seqs > 0 ? n_seqs : 1]);
   eng->sepStart.assign(1, 0);
   for (int s = 0; s < n_seqs; ++s) {
     const int8_t* sc = eng->Seq(s);
