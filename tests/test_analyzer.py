@@ -96,3 +96,25 @@ def test_variant_walk_stall_quirk(tmp_path):
         with open(os.path.join(GOLDEN_DIR, "varstall" + suffix)) as f:
             want = f.read()
         assert got == want, f"varstall{suffix} differs"
+
+
+def test_negative_var_max_group_cli(tmp_path):
+    """`--varMaxGroup -1` (no group-size limit) must parse like the
+    reference's getopt — argparse would otherwise read -1 as an option.
+    With no limit, the injected-SNP case calls the same variants."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.cli.analyze import main as amain
+
+    p1 = os.path.join(DATA_DIR, "variant_1.fq")
+    p2 = os.path.join(DATA_DIR, "variant_2.fq")
+    prefix = str(tmp_path / "neg")
+    run_genotyper(CYP_RNA, [p1], [p2], prefix, GenotypeOptions())
+    rc = amain(["-f", CYP_RNA, "-a", prefix + "_allele.tsv",
+                "-1", prefix + "_aligned_1.fa",
+                "-2", prefix + "_aligned_2.fa",
+                "-o", prefix, "--varMaxGroup", "-1"])
+    assert rc == 0
+    with open(prefix + "_allele.vcf") as f:
+        got = f.read()
+    assert got  # variants called with the unlimited group size
