@@ -71,6 +71,24 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def resolve_preset(preset: str, similarity: Optional[float],
+                   relax: bool = False):
+    """(genotyper -s, extractor -s, relaxIntronAlign) for a preset
+    (run-t1k:289-314)."""
+    geno_sim = similarity if similarity is not None else 0.8
+    extract_sim = similarity if similarity is not None else 0.8
+    if preset in ("hla", "hla-wgs"):
+        geno_sim = 0.97
+        if preset == "hla-wgs":
+            extract_sim = 0.97
+    elif preset == "kir-wgs":
+        geno_sim = 0.9
+        relax = True
+    elif preset == "kir-wes":
+        relax = True
+    return geno_sim, extract_sim, relax
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
         import sys
@@ -86,18 +104,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             break
     args = build_parser().parse_args(argv)
 
-    geno_sim = args.similarity if args.similarity is not None else 0.8
-    extract_sim = args.similarity if args.similarity is not None else 0.8
-    relax = args.relaxIntronAlign
-    if args.preset in ("hla", "hla-wgs"):
-        geno_sim = 0.97
-        if args.preset == "hla-wgs":
-            extract_sim = 0.97
-    elif args.preset == "kir-wgs":
-        geno_sim = 0.9
-        relax = True
-    elif args.preset == "kir-wes":
-        relax = True
+    geno_sim, extract_sim, relax = resolve_preset(
+        args.preset, args.similarity, args.relaxIntronAlign)
 
     first = args.first or args.single
     paired = bool(args.second) or bool(args.interleaved)

@@ -136,6 +136,25 @@ def overlap_lists_from_records(rec: np.ndarray, off: np.ndarray) -> List[List[Ov
     return out
 
 
+@dataclass
+class PreparedGenotype:
+    """Pipeline state after fragment assignment, before EM — the seam
+    where a cohort driver batches many cells' EM problems into one
+    device program (tools/smartseq.py --cohortEm)."""
+    genotyper: Genotyper
+    refset: RefSet
+    opts: GenotypeOptions
+    aligned_flags: List[bool]
+    read_ids1: List[str]
+    read_ids2: List[str]
+    read_seqs1: List[str]
+    read_seqs2: List[str]
+    barcodes: Optional[List[str]]
+    aligned_fragment_cnt: int
+    assign_rows: Optional[List[str]]
+    has_mate: bool
+
+
 def run_genotyper(
     ref_fasta: str,
     reads1: List[str],
@@ -144,6 +163,19 @@ def run_genotyper(
     opts: Optional[GenotypeOptions] = None,
     refset: Optional[RefSet] = None,
 ) -> GenotypeResult:
+    prep = prepare_genotyper(ref_fasta, reads1, reads2, opts, refset)
+    return finish_genotyper(prep, output_prefix)
+
+
+def prepare_genotyper(
+    ref_fasta: str,
+    reads1: List[str],
+    reads2: Optional[List[str]],
+    opts: Optional[GenotypeOptions] = None,
+    refset: Optional[RefSet] = None,
+) -> PreparedGenotype:
+    """Load reference + reads, run read/fragment assignment and EC
+    construction; stop at the EM boundary (Genotyper.cpp:194-637)."""
     opts = opts or GenotypeOptions()
     if refset is None:
         refset = RefSet.from_fasta(ref_fasta, opts.digit_units, opts.delimiter)
@@ -262,6 +294,35 @@ def run_genotyper(
                     f"\t{int(r[1])}\t{int(r[2])}")
     log(f"Finish read fragment assignments. {aligned_fragment_cnt} read fragments "
         f"can be assigned.")
+    return PreparedGenotype(
+        genotyper=genotyper, refset=refset, opts=opts,
+        aligned_flags=aligned_flags, read_ids1=ids1, read_ids2=ids2,
+        read_seqs1=seqs1, read_seqs2=seqs2, barcodes=barcodes,
+        aligned_fragment_cnt=aligned_fragment_cnt, assign_rows=assign_rows,
+        has_mate=has_mate)
+
+
+def finish_genotyper(
+    prep: PreparedGenotype,
+    output_prefix: str,
+    em_result: Optional[Tuple[int, np.ndarray]] = None,
+) -> GenotypeResult:
+    """EM (or injected sufficient statistics), allele selection, and
+    output writing (Genotyper.cpp:640-738).  `em_result` is (iterations,
+    per-EC read counts) from an external quantification — the cohort
+    driver's batched device EM."""
+    opts = prep.opts
+    genotyper = prep.genotyper
+    refset = prep.refset
+    ids1, ids2 = prep.read_ids1, prep.read_ids2
+    seqs1, seqs2 = prep.read_seqs1, prep.read_seqs2
+    aligned_flags = prep.aligned_flags
+    aligned_fragment_cnt = prep.aligned_fragment_cnt
+    assign_rows = prep.assign_rows
+    barcodes = prep.barcodes
+    has_mate = prep.has_mate
+    read_cnt = len(seqs1)
+    from ..utils.observability import metrics, stage
 
     if opts.abundance_file:
         genotyper.init_abundance_from_file(opts.abundance_file)
@@ -271,6 +332,10 @@ def run_genotyper(
         em_iters = 0
         log("Resumed EM sufficient statistics from "
             f"{opts.em_state_file}; skipping quantification.")
+    elif em_result is not None:
+        em_iters = genotyper.set_em_result(*em_result)
+        log(f"Adopted externally quantified abundances "
+            f"({em_iters} EM iterations).")
     else:
         with stage("em_quantification") as ctx:
             em_iters = genotyper.quantify()

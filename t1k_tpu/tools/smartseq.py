@@ -49,6 +49,56 @@ def _run_cells(jobs: list, workers: int) -> List[str]:
         return pool.starmap(run_cell, jobs)
 
 
+def _run_cells_cohort(jobs: list, mesh=None) -> List[str]:
+    """Second-pass cells with ONE batched device EM: cells are a batched
+    axis of the quantification (north-star config 5; the reference's
+    analog is an independent genotyper process per cell,
+    t1k-smartseq.pl:160-184).  Per-cell alignment and EC construction
+    run in-process against a shared parsed reference; every cell's EC
+    problem is then stacked and quantified in a single jitted SQUAREM
+    while_loop (ops/em.py em_quantify_jax_batched — with a mesh the cell
+    axis shards across its devices); selection and outputs finish per
+    cell.  Float-tolerance path: the device EM matches the native f64
+    oracle to float32 tolerance, not byte-exactly."""
+    from ..cli.run import resolve_preset
+    from ..core.pipeline import (GenotypeOptions, finish_genotyper,
+                                 prepare_genotyper)
+    from ..io.refset import RefSet
+    from ..ops.em import em_quantify_jax_batched
+
+    refset = None
+    preps, prefixes = [], []
+    for t1k_args, ref, f1, f2, outdir, prefix, _no_extraction in jobs:
+        geno_sim, _, relax = resolve_preset(
+            t1k_args.get("--preset", ""),
+            float(t1k_args["-s"]) if "-s" in t1k_args else None,
+            "--relaxIntronAlign" in t1k_args)
+        if refset is None:
+            refset = RefSet.from_fasta(ref)
+        opts = GenotypeOptions(
+            ref_seq_similarity=geno_sim, relax_intron_align=relax,
+            threads=int(t1k_args.get("-t", 1)))
+        os.makedirs(outdir, exist_ok=True)
+        preps.append(prepare_genotyper(ref, [f1], [f2] if f2 else None,
+                                       opts, refset=refset))
+        prefixes.append(os.path.join(outdir, prefix))
+
+    g0 = preps[0].genotyper
+    results = em_quantify_jax_batched(
+        [p.genotyper.em_problem() for p in preps],
+        g0.allele_eff_len, g0.allele_gene, g0.allele_major,
+        g0.gene_cnt, g0.major_cnt,
+        filter_frac=g0.cfg.filter_frac,
+        min_squarem_alpha=g0.cfg.min_squarem_alpha,
+        mesh=mesh)
+
+    out = []
+    for prep, res, prefix in zip(preps, results, prefixes):
+        finish_genotyper(prep, prefix, em_result=res)
+        out.append(f"{prefix}_genotype.tsv")
+    return out
+
+
 def run_smartseq(
     read1_list: str,
     read2_list: Optional[str],
@@ -56,6 +106,8 @@ def run_smartseq(
     output_prefix: str = "T1K",
     t1k_args: Optional[dict] = None,
     workers: int = 1,
+    cohort_em: bool = False,
+    mesh=None,
 ) -> str:
     """Returns the path of the final merged genotype matrix."""
     t1k_args = t1k_args or {}
@@ -106,7 +158,8 @@ def run_smartseq(
             c2 = None
         jobs.append((t1k_args, reduced_ref, c1, c2, outdir,
                      f"{cell}_reduced", True))
-    reduced_files = _run_cells(jobs, workers)
+    reduced_files = (_run_cells_cohort(jobs, mesh=mesh) if cohort_em
+                     else _run_cells(jobs, workers))
     with open(f"{output_prefix}_reduced_genotype_list.out", "w") as f:
         f.write("".join(p + "\n" for p in reduced_files))
 
@@ -127,14 +180,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--workers", type=int, default=1,
                     help="cells processed concurrently (process pool)")
     ap.add_argument("--preset", default=None)
+    ap.add_argument("--cohortEm", action="store_true",
+                    help="second pass: batch every cell's EM into one "
+                         "device program (cells as a batched axis, "
+                         "sharded over the local device mesh)")
     args = ap.parse_args(argv)
     extra = {}
     if args.preset:
         extra["--preset"] = args.preset
     if args.threads != 1:
         extra["-t"] = args.threads
+    mesh = None
+    if args.cohortEm:
+        import jax
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import data_mesh
+            mesh = data_mesh()
     run_smartseq(args.list1, args.list2, args.ref, args.prefix, extra,
-                 workers=args.workers)
+                 workers=args.workers, cohort_em=args.cohortEm, mesh=mesh)
     return 0
 
 

@@ -269,3 +269,108 @@ def test_jax_em_segment_path_matches_dense():
         em_mod.DENSE_EM_MAX_ELEMS = old
     assert it_seg == it_native
     np.testing.assert_allclose(count_seg, count_native, rtol=2e-3, atol=1e-3)
+
+
+def _cohort_problems(n_cells=9, n_alleles=40, n_genes=4, seed0=50):
+    """Randomized per-cell EC problems against one shared reference."""
+    allele_gene = (np.arange(n_alleles) % n_genes).astype(np.int32)
+    allele_major = (np.arange(n_alleles) // 2).astype(np.int32)
+    n_majors = n_alleles // 2
+    rng = np.random.default_rng(seed0)
+    allele_eff_len = rng.integers(800, 1600, n_alleles).astype(np.float64)
+
+    problems = []
+    for s in range(n_cells):
+        r = np.random.default_rng(seed0 + 1 + s)
+        K = int(r.integers(3, 12))
+        pool = list(range(n_alleles))
+        r.shuffle(pool)
+        ecs, used = [], 0
+        for _ in range(K):
+            sz = int(r.integers(1, 4))
+            ecs.append(sorted(pool[used:used + sz]))
+            used += sz
+        G = int(r.integers(5, 40))
+        rg_off, rg_ecs = [0], []
+        for _ in range(G):
+            n = int(r.integers(1, min(4, K) + 1))
+            rg_ecs.extend(sorted(r.choice(K, n, replace=False).tolist()))
+            rg_off.append(len(rg_ecs))
+        counts = r.integers(1, 20, G).astype(np.float64)
+        problems.append((ecs, (np.array(rg_off), np.array(rg_ecs)), counts,
+                         np.ones(n_alleles)))
+    return problems, allele_eff_len, allele_gene, allele_major, n_genes, n_majors
+
+
+def test_cohort_batched_em_matches_per_cell():
+    """Cells-as-a-batched-axis EM: each cell's padded/stacked trajectory
+    (with per-cell convergence freeze) must reproduce the solo device
+    EM — same iteration counts, counts to f32 reduction-order
+    tolerance; an empty cell passes through."""
+    from t1k_tpu.ops.em import em_quantify_jax, em_quantify_jax_batched
+
+    (problems, allele_eff_len, allele_gene, allele_major, n_genes,
+     n_majors) = _cohort_problems()
+    problems[4] = ([], (np.array([0]), np.array([], np.int64)),
+                   np.zeros(0), np.ones(len(allele_eff_len)))
+
+    batched = em_quantify_jax_batched(
+        problems, allele_eff_len, allele_gene, allele_major, n_genes,
+        n_majors)
+    assert len(batched) == len(problems)
+    for i, p in enumerate(problems):
+        it_s, c_s = em_quantify_jax(
+            p[0], p[1], p[2], allele_eff_len,
+            np.zeros(len(allele_eff_len)), p[3], allele_gene, allele_major,
+            n_genes, n_majors)
+        it_b, c_b = batched[i]
+        assert it_s == it_b, f"cell {i}: iters {it_s} vs {it_b}"
+        np.testing.assert_allclose(c_b, c_s, rtol=1e-3, atol=1e-3)
+
+
+def test_cohort_batched_em_sharded_matches():
+    """The cell axis shards over the device mesh with identical results
+    (the only collective is the loop-condition all-reduce)."""
+    import jax
+
+    from t1k_tpu.ops.em import em_quantify_jax_batched
+    from t1k_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    (problems, allele_eff_len, allele_gene, allele_major, n_genes,
+     n_majors) = _cohort_problems(n_cells=11, seed0=90)
+    plain = em_quantify_jax_batched(
+        problems, allele_eff_len, allele_gene, allele_major, n_genes,
+        n_majors)
+    sharded = em_quantify_jax_batched(
+        problems, allele_eff_len, allele_gene, allele_major, n_genes,
+        n_majors, mesh=data_mesh())
+    for (it_a, c_a), (it_b, c_b) in zip(plain, sharded):
+        assert it_a == it_b
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-4, atol=1e-5)
+
+
+def test_cohort_batched_em_chunking():
+    """A tiny chunk budget forces multiple padded stacks; results must
+    not depend on the chunking.  Run in f64 so the check isolates the
+    padding/chunk bookkeeping: in f32, reduction-order noise can flip
+    the every-10-rounds mask's strict comparisons and legitimately
+    diverge trajectories (same sensitivity as the reference's own f32
+    assignment weights)."""
+    import jax
+
+    from t1k_tpu.ops.em import em_quantify_jax_batched
+
+    (problems, allele_eff_len, allele_gene, allele_major, n_genes,
+     n_majors) = _cohort_problems(n_cells=7, seed0=130)
+    with jax.enable_x64():
+        one = em_quantify_jax_batched(
+            problems, allele_eff_len, allele_gene, allele_major, n_genes,
+            n_majors)
+        many = em_quantify_jax_batched(
+            problems, allele_eff_len, allele_gene, allele_major, n_genes,
+            n_majors, max_chunk_elems=1500)
+    for (it_a, c_a), (it_b, c_b) in zip(one, many):
+        assert it_a == it_b
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-9, atol=1e-9)

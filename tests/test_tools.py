@@ -131,3 +131,58 @@ def test_smartseq_workers_invariance(tmp_path):
     finally:
         os.chdir(cwd)
     assert a == b
+
+
+def test_smartseq_cohort_em(tmp_path):
+    """--cohortEm batches every second-pass cell's EM into one device
+    program (cells as a batched axis).  The merged matrix must agree
+    with the per-cell path on the allele calls (the EM runs in f32 on
+    device, so abundances are compared to tolerance)."""
+    if not os.path.exists(CYP_RNA):
+        pytest.skip("cyp2d6 database unavailable")
+    from t1k_tpu.io.reads import read_seq_file, write_fastq
+    from t1k_tpu.tools.simulate import SimConfig, simulate_pairs
+    from t1k_tpu.tools.smartseq import run_smartseq
+
+    by_name = {r.id: r for r in read_seq_file(CYP_RNA)}
+    l1, l2 = [], []
+    for ci, (alleles, seed) in enumerate(
+            [(["CYP2D6*1", "CYP2D6*4"], 101), (["CYP2D6*1"], 103),
+             (["CYP2D6*4"], 107)]):
+        r1, r2 = simulate_pairs([by_name[a] for a in alleles],
+                                [1.0] * len(alleles),
+                                SimConfig(n_pairs=120, seed=seed))
+        p1 = tmp_path / f"ccell{ci}.R1.fq"
+        p2 = tmp_path / f"ccell{ci}.R2.fq"
+        write_fastq(str(p1), r1)
+        write_fastq(str(p2), r2)
+        l1.append(str(p1))
+        l2.append(str(p2))
+    (tmp_path / "clist1.txt").write_text("\n".join(l1) + "\n")
+    (tmp_path / "clist2.txt").write_text("\n".join(l2) + "\n")
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        base = run_smartseq("clist1.txt", "clist2.txt", CYP_RNA, "CB")
+        import jax
+
+        from t1k_tpu.parallel.mesh import data_mesh
+        mesh = data_mesh() if len(jax.devices()) > 1 else None
+        cohort = run_smartseq("clist1.txt", "clist2.txt", CYP_RNA, "CC",
+                              cohort_em=True, mesh=mesh)
+        with open(base) as f:
+            a = f.read().splitlines()
+        with open(cohort) as f:
+            b = f.read().splitlines()
+    finally:
+        os.chdir(cwd)
+    assert a[0] == b[0]  # same called alleles in the header
+    assert len(a) == len(b)
+    for la, lb in zip(a[1:], b[1:]):
+        ca, cb = la.split("\t"), lb.split("\t")
+        assert os.path.basename(ca[0]) == os.path.basename(cb[0])
+        assert ca[-1] == cb[-1]  # inconsistency column
+        for va, vb in zip(ca[1:-1], cb[1:-1]):
+            assert abs(float(va) - float(vb)) <= max(
+                1e-2, 1e-3 * abs(float(va)))
