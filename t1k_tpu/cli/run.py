@@ -115,8 +115,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     prefix = args.prefix
     if not prefix:
-        base = args.bam or (first[0] if first else args.interleaved[0])
-        prefix = "T1K_" + os.path.basename(base).split(".")[0]
+        # inference only looks at -b and -1/-u; interleaved-only input
+        # falls through to the bare "T1K" default (run-t1k:316-331)
+        base = args.bam or (first[0] if first else None)
+        prefix = ("T1K_" + os.path.basename(base).split(".")[0]
+                  if base else "T1K")
     if args.outdir:
         os.makedirs(args.outdir, exist_ok=True)
         prefix = os.path.join(args.outdir, prefix)

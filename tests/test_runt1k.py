@@ -44,3 +44,25 @@ def test_run_driver_chain_matches_reference(tmp_path):
         with open(os.path.join(outdir, "chain" + suffix), "rb") as f:
             got = hashlib.sha256(f.read()).hexdigest()
         assert got == want, f"runt1k{suffix} differs"
+
+
+def test_interleaved_prefix_inference(tmp_path):
+    """Interleaved-only input infers the bare `T1K` prefix: run-t1k's
+    inference looks only at -b and -1/-u and falls through to the plain
+    default for -i (run-t1k:316-331)."""
+    from t1k_tpu.io.reads import read_seq_file, write_fastq
+
+    r1 = list(read_seq_file(os.path.join(DATA_DIR, "multigene_1.fq")))
+    r2 = list(read_seq_file(os.path.join(DATA_DIR, "multigene_2.fq")))
+    inter = str(tmp_path / "sample.inter.fq")
+    write_fastq(inter, [x for pair in zip(r1, r2) for x in pair])
+
+    from t1k_tpu.cli.run import main
+
+    outdir = str(tmp_path / "out")
+    rc = main(["-f", os.path.join(DATA_DIR, "multigene_rna.fa"),
+               "-i", inter, "--od", outdir, "--skipPostAnalysis"])
+    assert rc == 0
+    names = set(os.listdir(outdir))
+    assert "T1K_genotype.tsv" in names, names
+    assert not any(n.startswith("T1K_sample") for n in names), names
