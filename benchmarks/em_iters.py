@@ -126,8 +126,10 @@ def bench_device_dense(seg_rg, seg_ec, counts, ec_len, init, rounds=200,
     rg_cnt = int(seg_rg[-1]) + 1
     ec_cnt = len(ec_len)
     dtype = jnp.float32
-    A = np.zeros((rg_cnt, ec_cnt), np.float32)
-    np.add.at(A, (seg_rg, seg_ec), 1.0)
+    from t1k_tpu.ops.em import _build_incidence
+    # built on device: only the nnz index lists cross the host link
+    A = _build_incidence(jnp.asarray(seg_rg), jnp.asarray(seg_ec),
+                         rg_cnt, ec_cnt, dtype)
     cts_rg = np.zeros(rg_cnt, np.float32)
     np.maximum.at(cts_rg, seg_rg, counts.astype(np.float32))
 
@@ -213,7 +215,7 @@ def main():
     # beyond the dense path's memory cap
     for ec_cnt, rg_cnt, fanout, dense in (
             (880, 4897, 4, True), (2048, 30000, 6, True),
-            (4096, 200000, 8, False)):
+            (4096, 200000, 8, True), (4096, 200000, 8, False)):
         prob = make_problem(ec_cnt, rg_cnt, fanout)
         dev = (bench_device_dense if dense else bench_device)(*prob)
         nat = bench_native(*prob)

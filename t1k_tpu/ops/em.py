@@ -29,8 +29,18 @@ def _segment_sum(data, seg, n):
     return jax.ops.segment_sum(data, seg, num_segments=n)
 
 
-# Largest rg_cnt x ec_cnt for the dense-incidence EM path (f32 ~256MB).
-DENSE_EM_MAX_ELEMS = 64_000_000
+@functools.partial(jax.jit, static_argnames=("rg_cnt", "ec_cnt", "dtype"))
+def _build_incidence(seg_rg, seg_ec, rg_cnt: int, ec_cnt: int, dtype):
+    """0/1 [rg_cnt, ec_cnt] incidence built on device: a one-time
+    scatter-add over the nnz index lists, so the full matrix never
+    crosses the host link (it can be GBs at the dense cap)."""
+    return jnp.zeros((rg_cnt, ec_cnt), dtype).at[seg_rg, seg_ec].add(1)
+
+
+# Largest rg_cnt x ec_cnt for the dense-incidence EM path (f32 ~2GB in
+# device memory; the incidence is built ON DEVICE by a one-time scatter
+# from the index lists, so only the ~nnz indices cross the host link).
+DENSE_EM_MAX_ELEMS = 512_000_000
 
 
 def segment_bounds(seg_sorted: np.ndarray, n: int):
@@ -251,10 +261,10 @@ def em_quantify_jax(
     # every realistic single-sample workload; the segment path handles
     # larger cohort-scale problems.
     if rg_cnt * ec_cnt <= DENSE_EM_MAX_ELEMS:
-        A = np.zeros((rg_cnt, ec_cnt), np.float32)
-        np.add.at(A, (seg_rg, seg_ec), 1.0)
+        A = _build_incidence(jnp.asarray(seg_rg), jnp.asarray(seg_ec),
+                             rg_cnt, ec_cnt, dtype)
         count, iters = _em_loop_dense(
-            jnp.asarray(A, dtype), jnp.asarray(rg_counts, dtype),
+            A, jnp.asarray(rg_counts, dtype),
             jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
             jnp.asarray(ec_first), jnp.asarray(allele_ec),
             jnp.asarray(allele_valid), jnp.asarray(allele_gene, jnp.int32),
