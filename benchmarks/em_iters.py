@@ -211,8 +211,10 @@ def bench_native(seg_rg, seg_ec, counts, ec_len, init, rounds=50):
 
 def main():
     # (ec, rg) shapes: the HLA-scale run's actual EM (880 ECs, 4897
-    # read groups), a large single-sample, and a cohort-scale problem
-    # beyond the dense path's memory cap
+    # read groups), a large single-sample, and a very large problem
+    # (819M elems, 3.3GB f32) measured on BOTH formulations: dense is
+    # the production path there (fits DENSE_EM_MAX_BYTES, built on
+    # device), segment is the beyond-budget fallback
     for ec_cnt, rg_cnt, fanout, dense in (
             (880, 4897, 4, True), (2048, 30000, 6, True),
             (4096, 200000, 8, True), (4096, 200000, 8, False)):

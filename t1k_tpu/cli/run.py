@@ -91,8 +91,6 @@ def resolve_preset(preset: str, similarity: Optional[float],
 
 def main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
-        import sys
-
         argv = sys.argv[1:]
     # "--post-varMaxGroup -1" (no-limit, accepted by the reference's
     # getopt) would be read by argparse as the -1 option; fold it in
@@ -198,6 +196,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             files1, files2 = [], None
     else:
+        if not first:
+            # -i with --noExtraction: the reference driver falls through
+            # to nonexistent candidate files and its genotyper dies on
+            # open (run-t1k:389-415); fail with a clear message instead
+            print("--noExtraction requires -1/-2 or -u input.",
+                  file=sys.stderr)
+            return 1
         files1 = [first[0]]
         files2 = [args.second[0]] if args.second else None
         paired = files2 is not None

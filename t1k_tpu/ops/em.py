@@ -37,10 +37,20 @@ def _build_incidence(seg_rg, seg_ec, rg_cnt: int, ec_cnt: int, dtype):
     return jnp.zeros((rg_cnt, ec_cnt), dtype).at[seg_rg, seg_ec].add(1)
 
 
-# Largest rg_cnt x ec_cnt for the dense-incidence EM path (f32 ~2GB in
-# device memory; the incidence is built ON DEVICE by a one-time scatter
-# from the index lists, so only the ~nnz indices cross the host link).
-DENSE_EM_MAX_ELEMS = 512_000_000
+# Memory budget for the dense-incidence EM path's [rg, ec] matrix.  The
+# incidence is built ON DEVICE by a one-time scatter from the index
+# lists, so only the ~nnz indices cross the host link and the budget is
+# device memory only; the element cap scales with the compute dtype
+# (f32 on accelerators -> 1G elements, f64 on x64 CPUs -> 512M).
+DENSE_EM_MAX_BYTES = 4 << 30
+
+# Host-side budget for the cohort-batched path, which still builds the
+# padded [cells, R, K] incidence stack on host (cells are small; the
+# stack is chunked to this size before transfer).
+BATCH_EM_MAX_ELEMS = 64_000_000
+
+# Backwards-compat alias (tests force the segment path through this).
+DENSE_EM_MAX_ELEMS = DENSE_EM_MAX_BYTES // 4
 
 
 def segment_bounds(seg_sorted: np.ndarray, n: int):
@@ -256,11 +266,14 @@ def em_quantify_jax(
      init_x) = _pack_ec_tables(ec_to_alleles, allele_eff_len, allele_weight)
 
     # Dense fast path: when the [rg_cnt, ec_cnt] incidence matrix fits
-    # comfortably in HBM (f32 <= ~256MB), the E-step is two dense
-    # matvecs — no gathers/scatters, which serialize on TPU.  Covers
-    # every realistic single-sample workload; the segment path handles
-    # larger cohort-scale problems.
-    if rg_cnt * ec_cnt <= DENSE_EM_MAX_ELEMS:
+    # in the device-memory budget (DENSE_EM_MAX_BYTES in the compute
+    # dtype; built on device, never transferred), the E-step is two
+    # dense matvecs — no gathers/scatters, which serialize on TPU.
+    # Covers every realistic single-sample workload; the segment path
+    # handles larger problems.
+    elem_cap = min(DENSE_EM_MAX_ELEMS,
+                   DENSE_EM_MAX_BYTES // jnp.dtype(dtype).itemsize)
+    if rg_cnt * ec_cnt <= elem_cap:
         A = _build_incidence(jnp.asarray(seg_rg), jnp.asarray(seg_ec),
                              rg_cnt, ec_cnt, dtype)
         count, iters = _em_loop_dense(
@@ -407,7 +420,7 @@ def em_quantify_jax_batched(
     max_iterations: int = 1000,
     dtype=jnp.float64,
     mesh=None,
-    max_chunk_elems: int = DENSE_EM_MAX_ELEMS,
+    max_chunk_elems: int = BATCH_EM_MAX_ELEMS,
 ) -> List[Tuple[int, np.ndarray]]:
     """Quantify many cells' EC problems in one device program.
 

@@ -134,8 +134,11 @@ def _run_ref(dat, args):
         capture_output=True, text=True)
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _run_mine(dat, args):
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    env = dict(os.environ, PYTHONPATH=REPO)
     return subprocess.run(
         [sys.executable, "-m", "t1k_tpu.db.parse_dat", dat] + args,
         capture_output=True, text=True, env=env)
@@ -176,6 +179,7 @@ def run_case(seed):
             print(f"seed {seed}: {f}")
         return "fail"
     if failures:
+        shutil.rmtree(case, ignore_errors=True)
         return "refcrash"
     shutil.rmtree(case, ignore_errors=True)
     return "ok"

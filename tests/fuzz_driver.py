@@ -147,7 +147,6 @@ def run_case(seed):
 
     use_prefix = rng.random() < 0.7
     prefix_args = ["-o", "fz"] if use_prefix else []
-    prefix = "fz" if use_prefix else "T1K_reads"
 
     refdir, minedir = f"{case}/ref", f"{case}/mine"
     os.makedirs(refdir)
@@ -157,6 +156,7 @@ def run_case(seed):
            + io_args + prefix_args + ["--od", refdir] + args)
     r = subprocess.run(cmd, capture_output=True)
     if r.returncode != 0:
+        shutil.rmtree(case, ignore_errors=True)
         return "refcrash"
 
     from t1k_tpu.cli.run import main as rmain
@@ -179,6 +179,7 @@ def run_case(seed):
                 + ["--od", refdir, "--stage", str(stage)] + args)
         r = subprocess.run(cmd2, capture_output=True)
         if r.returncode != 0:
+            shutil.rmtree(case, ignore_errors=True)
             return "refcrash"
         rc = rmain(["-f", panel] + io_args + prefix_args
                    + ["--od", minedir, "--stage", str(stage)] + args)

@@ -102,7 +102,8 @@ def run_case(seed):
             "-f", panel, "-1", list1]
            + (["-2", list2] if paired else []) + args)
     r = subprocess.run(cmd, capture_output=True, cwd=refdir)
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     if r.returncode != 0:
         # the reference dies on empty merges ("No qualified allele
         # found", t1k-smartseq.pl:138); ours must also fail there

@@ -76,8 +76,11 @@ def _ref(script, args):
 
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def _mine(module, args):
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    env = dict(os.environ, PYTHONPATH=REPO)
     return subprocess.run(
         [sys.executable, "-m", module] + args,
         capture_output=True, text=True, env=env,
