@@ -66,3 +66,14 @@ def test_interleaved_prefix_inference(tmp_path):
     names = set(os.listdir(outdir))
     assert "T1K_genotype.tsv" in names, names
     assert not any(n.startswith("T1K_sample") for n in names), names
+
+
+def test_no_extraction_requires_direct_reads(tmp_path):
+    """-i with --noExtraction fails cleanly: the reference driver would
+    fall through to nonexistent candidate files (run-t1k:389-415)."""
+    from t1k_tpu.cli.run import main
+
+    rc = main(["-f", os.path.join(DATA_DIR, "multigene_rna.fa"),
+               "-i", os.path.join(DATA_DIR, "multigene_1.fq"),
+               "--od", str(tmp_path), "--noExtraction"])
+    assert rc == 1
