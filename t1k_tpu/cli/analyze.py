@@ -17,16 +17,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="t1k-analyze", description="Novel-SNP / barcode post-analysis")
     ap.add_argument("-f", dest="ref", required=True)
     ap.add_argument("-a", dest="allele_tsv", required=True)
-    ap.add_argument("-1", dest="first", nargs="+", default=[])
-    ap.add_argument("-2", dest="second", nargs="+", default=[])
-    ap.add_argument("-u", dest="single", nargs="+", default=[])
+    ap.add_argument("-1", dest="first", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-2", dest="second", nargs="+", action="extend", default=[])
+    ap.add_argument("-u", dest="single", nargs="+", action="extend", default=[])
     ap.add_argument("-o", dest="prefix", default="t1k")
     ap.add_argument("-t", dest="threads", type=int, default=1)
     ap.add_argument("-s", dest="similarity", type=float, default=0.8)
     ap.add_argument("-n", dest="maxAssign", type=int, default=2000)
     ap.add_argument("--alleleDigitUnits", type=int, default=-1)
     ap.add_argument("--alleleDelimiter", default="")
-    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcode", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("--relaxIntronAlign", action="store_true")
     ap.add_argument("--varMaxGroup", type=int, default=8)
     return ap
@@ -54,7 +56,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_assign_cnt=args.maxAssign,
         digit_units=args.alleleDigitUnits,
         delimiter=args.alleleDelimiter,
-        barcode_file=args.barcode[0] if args.barcode else None,
+        barcode_file=args.barcode or None,
         var_max_group=args.varMaxGroup,
         threads=args.threads,
     )

@@ -16,14 +16,21 @@ def build_parser() -> argparse.ArgumentParser:
         prog="t1k-extract",
         description="Screen raw FASTQ for candidate reads")
     ap.add_argument("-f", dest="ref", required=True)
-    ap.add_argument("-1", dest="first", nargs="+", default=[])
-    ap.add_argument("-2", dest="second", nargs="+", default=[])
-    ap.add_argument("-u", dest="single", nargs="+", default=[])
-    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    # repeated occurrences extend like the reference binaries' getopt
+    # loops (each -1/-u/--barcode appends another file)
+    ap.add_argument("-1", dest="first", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-2", dest="second", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-u", dest="single", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("-o", dest="prefix", default="t1k")
     ap.add_argument("-t", dest="threads", type=int, default=1)
     ap.add_argument("-s", dest="similarity", type=float, default=0.8)
-    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcode", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("--barcodeRange", nargs=3, default=None,
                     metavar=("START", "END", "STRAND"))
     ap.add_argument("--barcodeWhitelist", default=None)
@@ -73,7 +80,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     opts = ExtractorOptions(ref_seq_similarity=args.similarity,
                             threads=args.threads, backend=args.backend)
     if args.barcode:
-        opts.barcode_file = args.barcode[0]
+        opts.barcode_file = args.barcode
     if args.barcodeRange:
         opts.barcode_start = int(args.barcodeRange[0])
         opts.barcode_end = int(args.barcodeRange[1])

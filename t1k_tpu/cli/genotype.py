@@ -13,10 +13,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="t1k-genotype", description="Genotype candidate reads")
     ap.add_argument("-f", dest="ref", required=True)
-    ap.add_argument("-1", dest="first", nargs="+", default=[])
-    ap.add_argument("-2", dest="second", nargs="+", default=[])
-    ap.add_argument("-u", dest="single", nargs="+", default=[])
-    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    # repeated occurrences extend like the reference binaries' getopt
+    # loops (each -1/-u/--barcode appends another file)
+    ap.add_argument("-1", dest="first", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-2", dest="second", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-u", dest="single", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("-o", dest="prefix", default="t1k")
     ap.add_argument("-t", dest="threads", type=int, default=1)
     ap.add_argument("-s", dest="similarity", type=float, default=0.8)
@@ -29,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--alleleDigitUnits", type=int, default=-1)
     ap.add_argument("--alleleDelimiter", default="")
     ap.add_argument("--alleleWhitelist", default=None)
-    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcode", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("--relaxIntronAlign", action="store_true")
     ap.add_argument("--outputReadAssignment", action="store_true")
     ap.add_argument("--backend", default="native",
@@ -61,7 +68,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         allele_whitelist=args.alleleWhitelist,
         abundance_file=args.abundance,
         em_state_file=args.resumeEmState,
-        barcode_file=args.barcode[0] if args.barcode else None,
+        barcode_file=args.barcode or None,
         output_read_assignment=args.outputReadAssignment,
         threads=args.threads, backend=args.backend,
         em_backend=args.emBackend,

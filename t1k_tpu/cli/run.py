@@ -29,10 +29,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="t1k-tpu",
         description="TPU-native KIR/HLA genotyper",
     )
-    ap.add_argument("-1", dest="first", nargs="+", default=[])
-    ap.add_argument("-2", dest="second", nargs="+", default=[])
-    ap.add_argument("-u", dest="single", nargs="+", default=[])
-    ap.add_argument("-i", dest="interleaved", nargs="+", default=[])
+    # repeated occurrences extend like the reference binaries' getopt
+    # loops (each -1/-u/--barcode appends another file)
+    ap.add_argument("-1", dest="first", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-2", dest="second", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-u", dest="single", nargs="+", action="extend",
+                    default=[])
+    ap.add_argument("-i", dest="interleaved", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("-b", dest="bam", default=None)
     ap.add_argument("-f", dest="ref", required=True)
     ap.add_argument("-c", dest="coord", default=None)
@@ -48,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--alleleDigitUnits", type=int, default=-1)
     ap.add_argument("--alleleDelimiter", default="")
     ap.add_argument("--alleleWhitelist", default=None)
-    ap.add_argument("--barcode", nargs="+", default=[])
+    ap.add_argument("--barcode", nargs="+", action="extend",
+                    default=[])
     ap.add_argument("--barcodeRange", nargs=3, default=None,
                     metavar=("START", "END", "STRAND"))
     ap.add_argument("--barcodeWhitelist", default=None)
@@ -151,7 +158,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         eopts = ExtractorOptions(
             ref_seq_similarity=extract_sim,
             threads=args.threads,
-            barcode_file=args.barcode[0] if args.barcode else None,
+            barcode_file=args.barcode or None,
             barcode_whitelist=args.barcodeWhitelist,
             backend=args.backend,
         )

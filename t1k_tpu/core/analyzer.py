@@ -134,7 +134,10 @@ def run_analyzer(
         barcodes = []
         bc_names: List[str] = []
         bc_map = {}
-        bc_iter = iter(read_seq_files([opts.barcode_file]))
+        bc_files = (opts.barcode_file
+                    if isinstance(opts.barcode_file, (list, tuple))
+                    else [opts.barcode_file])
+        bc_iter = iter(read_seq_files(bc_files))
     it1 = read_seq_files(reads1)
     it2 = read_seq_files(reads2) if has_mate else None
     for rec1 in it1:

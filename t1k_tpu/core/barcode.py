@@ -22,15 +22,55 @@ def format_barcode(raw: str, start: int, end: int, revcomp: bool) -> str:
     return revcomp_str(sub) if revcomp else sub
 
 
-class BarcodeCorrector:
+class _TrieNode:
+    __slots__ = ("next", "count")
+
     def __init__(self):
-        self.counts: dict = {}
+        self.next = {}
+        self.count = 0
+
+
+class BarcodeCorrector:
+    """Exact mirror of the reference Trie semantics
+    (BarcodeCorrector.hpp:17-100): lookups do NOT require the
+    end-of-word flag, so a barcode that is a PREFIX of any whitelist
+    entry resolves to an internal node (count starts at 0) and is
+    accepted — observable when --barcodeStart/--barcodeEnd slice the
+    barcode shorter than the whitelist entries.  Background counts
+    accumulate at whichever node (internal or terminal) the formatted
+    barcode reaches."""
+
+    def __init__(self):
+        self.root = _TrieNode()
+
+    def _insert(self, s: str) -> None:
+        if any(c not in "ACGT" for c in s):
+            return
+        p = self.root
+        for c in s:
+            nxt = p.next.get(c)
+            if nxt is None:
+                nxt = p.next[c] = _TrieNode()
+            p = nxt
+        p.count += 1
+
+    def _search_update(self, s: str, weight: int) -> int:
+        """Count after update; -1 when off-path or non-ACGT
+        (Trie::SearchAndUpdate — no end check)."""
+        if any(c not in "ACGT" for c in s):
+            return -1
+        p = self.root
+        for c in s:
+            p = p.next.get(c)
+            if p is None:
+                return -1
+        p.count += weight
+        return p.count
 
     def set_whitelist(self, path: str) -> None:
         with open(path) as f:
             for tok in f.read().split():
-                if all(c in "ACGT" for c in tok):
-                    self.counts[tok] = self.counts.get(tok, 0) + 1
+                self._insert(tok)
 
     def collect_background(self, barcodes: Iterable[str], start: int = 0,
                            end: int = -1, revcomp: bool = False,
@@ -38,16 +78,15 @@ class BarcodeCorrector:
         n = 0
         for raw in barcodes:
             bc = format_barcode(raw, start, end, revcomp)
-            if bc in self.counts:
-                self.counts[bc] += 1
+            self._search_update(bc, 1)
             n += 1
             if n >= case_cnt:
                 break
 
     def correct(self, barcode: str, qual: Optional[str]) -> Optional[str]:
         """Return the (possibly corrected) barcode, or None if
-        uncorrectable."""
-        if barcode in self.counts and all(c in "ACGT" for c in barcode):
+        uncorrectable (BarcodeCorrector::Correct)."""
+        if self._search_update(barcode, 0) != -1:
             return barcode
         best_cnt = -1
         best = None
@@ -57,8 +96,7 @@ class BarcodeCorrector:
                 if b == orig:
                     continue
                 cand = barcode[:i] + b + barcode[i + 1:]
-                cnt = self.counts.get(cand, -1) if all(
-                    c in "ACGT" for c in cand) else -1
+                cnt = self._search_update(cand, 0)
                 if cnt == -1:
                     continue
                 if cnt > best_cnt:

@@ -121,7 +121,10 @@ def run_extractor(
     corrector = None
     bc_recs = None
     if opts.barcode_file:
-        bc_recs = list(read_seq_files([opts.barcode_file]))
+        bc_files = (opts.barcode_file
+                    if isinstance(opts.barcode_file, (list, tuple))
+                    else [opts.barcode_file])
+        bc_recs = list(read_seq_files(bc_files))
         if opts.barcode_whitelist:
             corrector = BarcodeCorrector()
             corrector.set_whitelist(opts.barcode_whitelist)

@@ -195,7 +195,11 @@ def prepare_genotyper(
     ids1, seqs1, quals1 = [], [], []
     ids2, seqs2, quals2 = [], [], []
     barcodes: Optional[List[str]] = [] if opts.barcode_file else None
-    bc_iter = iter(read_seq_files([opts.barcode_file])) if opts.barcode_file else None
+    bc_files = (opts.barcode_file
+                if isinstance(opts.barcode_file, (list, tuple))
+                else [opts.barcode_file])
+    bc_iter = (iter(read_seq_files(bc_files))
+               if opts.barcode_file else None)
     it1 = read_seq_files(reads1)
     it2 = read_seq_files(reads2) if has_mate else None
     for rec1 in it1:

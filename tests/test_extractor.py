@@ -61,3 +61,37 @@ def test_barcode_correction_matches_reference(tmp_path):
     with open(prefix + "_bc.fa", "rb") as f:
         got = hashlib.sha256(f.read()).hexdigest()
     assert got == want
+
+
+def test_repeated_input_flags_extend(tmp_path):
+    """Repeated -u/-1 flags append files like the reference binaries'
+    getopt loops (each occurrence is another AddReadFile,
+    FastqExtractor.cpp:310-330) — argparse must not overwrite."""
+    from t1k_tpu.cli.extract import build_parser
+
+    args = build_parser().parse_args(
+        ["-f", "x.fa", "-u", "a.fq", "-u", "b.fq", "-1", "c.fq",
+         "-1", "d.fq", "e.fq", "--barcode", "f.fq", "--barcode", "g.fq"])
+    assert args.single == ["a.fq", "b.fq"]
+    assert args.first == ["c.fq", "d.fq", "e.fq"]
+    assert args.barcode == ["f.fq", "g.fq"]
+
+
+def test_barcode_trie_prefix_acceptance(tmp_path):
+    """The reference trie's SearchAndUpdate never checks the end-of-word
+    flag (BarcodeCorrector.hpp:82-99), so a barcode that is a PREFIX of
+    a whitelist entry is accepted unchanged — observable when
+    --barcodeStart/--barcodeEnd slice barcodes shorter than the
+    whitelist entries."""
+    from t1k_tpu.core.barcode import BarcodeCorrector
+
+    wl = tmp_path / "wl.txt"
+    wl.write_text("ACGTACGT\nTTTTGGGG\n")
+    c = BarcodeCorrector()
+    c.set_whitelist(str(wl))
+    # exact prefix of ACGTACGT -> accepted as-is (internal node)
+    assert c.correct("ACGTAC", None) == "ACGTAC"
+    # 1-Hamming from the TTTTGGGG prefix -> corrected onto the path
+    assert c.correct("TTATGG", None) == "TTTTGG"
+    # off every path entirely -> uncorrectable
+    assert c.correct("CCCCCC", None) is None
