@@ -394,6 +394,8 @@ class NativeEngine:
     def pos_weight(self) -> np.ndarray:
         """Per-base coverage counts, shape [total_len, 4] (view copy)."""
         total = int(self._packed.seq_codes.shape[0])
+        if total == 0:  # empty reference (e.g. empty allele whitelist)
+            return np.zeros((0, 4), dtype=np.int32)
         return np.ctypeslib.as_array(
             _lib.t1k_get_pos_weight(self._handle), shape=(total, 4)
         ).copy()

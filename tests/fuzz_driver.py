@@ -115,6 +115,25 @@ def run_case(seed):
         write_fastq(p1, r1)
         io_args = ["-u", p1]
 
+    # barcode chain: extractor correction -> genotyper _candidate_bc.fa
+    # -> analyzer _aligned_bc.fa -> _barcode_expr.tsv (run-t1k:195-234)
+    if io_mode != "interleaved" and rng.random() < 0.3:
+        bc_len = rng.choice([8, 12])
+        bcs = [SeqRecord(a.id, "".join(rng.choice("ACGT")
+                                       for _ in range(bc_len)),
+                         "I" * bc_len, None) for a in r1]
+        bf = f"{case}/bc.fq"
+        write_fastq(bf, bcs)
+        io_args += ["--barcode", bf]
+        if rng.random() < 0.5:
+            io_args += ["--barcodeRange", "1", str(bc_len - 2),
+                        rng.choice(["+", "-"])]
+        if rng.random() < 0.5:
+            wl = sorted({b.seq for b in bcs})[::2]
+            with open(f"{case}/wl.txt", "w") as f:
+                f.write("\n".join(wl) + "\n")
+            io_args += ["--barcodeWhitelist", f"{case}/wl.txt"]
+
     args = []
     if dna:
         preset = rng.choice(["", "kir-wgs", "kir-wes"])
@@ -155,11 +174,25 @@ def run_case(seed):
     cmd = (["perl", os.path.join(REF_DIR, "run-t1k"), "-f", panel]
            + io_args + prefix_args + ["--od", refdir] + args)
     r = subprocess.run(cmd, capture_output=True)
-    if r.returncode != 0:
-        shutil.rmtree(case, ignore_errors=True)
-        return "refcrash"
 
     from t1k_tpu.cli.run import main as rmain
+
+    if r.returncode != 0:
+        # the reference driver dies (e.g. no candidates survive the
+        # whitelist); ours must also fail rather than fabricate output
+        try:
+            rc = rmain(["-f", panel] + io_args + prefix_args
+                       + ["--od", minedir] + args)
+        except SystemExit as e:
+            rc = int(e.code or 0)
+        except Exception:
+            rc = 1
+        if rc == 0:
+            print(f"seed {seed}: reference driver died but ours "
+                  f"succeeded (mode={io_mode} args={args})")
+            return "fail"
+        shutil.rmtree(case, ignore_errors=True)
+        return "refcrash"
 
     rc = rmain(["-f", panel] + io_args + prefix_args + ["--od", minedir]
                + args)
