@@ -75,6 +75,8 @@ def gen_case(seed):
         tags = {}
         if rng.random() < 0.25:
             tags = {"CB": "".join(rng.choice(bases) for _ in range(8))}
+        if rng.random() < 0.2:
+            tags["UB"] = "".join(rng.choice(bases) for _ in range(10))
         if kind < 0.35:
             # aligned near/inside the gene window (boundary stress)
             a, b = next_sim()
@@ -175,22 +177,29 @@ def run_case(seed):
     bam, coord, paired = gen_case(seed)
     refp = f"{OUT}/ref_{seed}"
     minep = f"{OUT}/mine_{seed}"
-    use_bc = random.Random(seed ^ 0xBC).random() < 0.4
+    frng = random.Random(seed ^ 0xBC)
+    use_bc = frng.random() < 0.4
+    use_umi = frng.random() < 0.3
     cmd = [REF_BIN, "-f", coord, "-b", bam, "-o", refp]
     if use_bc:
         cmd += ["--barcode", "CB"]
+    if use_umi:
+        cmd += ["--UMI", "UB"]
     r = subprocess.run(cmd, capture_output=True)
     if r.returncode != 0:
         return "refcrash"
     try:
         extract_from_bam(bam, coord, coord, minep,
-                         bc_field="CB" if use_bc else "")
+                         bc_field="CB" if use_bc else "",
+                         umi_field="UB" if use_umi else "")
     except Exception as e:
         print(f"seed {seed}: OUR EXCEPTION {type(e).__name__}: {e}")
         return "fail"
     suffixes = ["_1.fq", "_2.fq"] if paired else [".fq"]
     if use_bc:
         suffixes.append("_bc.fa")
+    if use_umi:
+        suffixes.append("_umi.fa")
     ok = True
     for suf in suffixes:
         ra, rb = refp + suf, minep + suf

@@ -152,8 +152,11 @@ def run_case(seed):
 
     from t1k_tpu.cli.genotype import main as gmain
 
+    # T1K_FUZZ_EXTRA_ARGS="--backend tpu" fuzzes the deferred-DP path
+    # (Pallas kernel in interpret mode on CPU — identical results)
+    extra = os.environ.get("T1K_FUZZ_EXTRA_ARGS", "").split()
     rc = gmain(["-f", panel, "-o", minep, "--outputReadAssignment"]
-               + args + inp)
+               + args + inp + extra)
     if rc != 0:
         print(f"seed {seed}: our rc={rc}")
         return "fail"
