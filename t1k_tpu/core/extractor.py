@@ -28,17 +28,26 @@ from ..io.refset import RefSet
 from .barcode import BarcodeCorrector, format_barcode
 
 
+def low_complexity_flags(codes: np.ndarray, seg: np.ndarray,
+                         lens: np.ndarray) -> np.ndarray:
+    """Vectorized FastqExtractor.cpp:89-111 over concatenated reads:
+    dominated by one base, too many Ns, or at least two bases nearly
+    absent.  `codes` are the concatenated base codes, `seg` the read
+    index per base, `lens` the per-read lengths.  The single contract
+    shared by the FASTQ and BAM extraction paths."""
+    n = len(lens)
+    cnt = np.bincount(seg * 5 + codes, minlength=n * 5).reshape(n, 5)
+    return ((cnt[:, :4] >= (lens // 2)[:, None]).any(axis=1)
+            | (cnt[:, 4] >= lens // 10)
+            | ((cnt[:, :4] <= 2).sum(axis=1) >= 2))
+
+
 def is_low_complexity(seq: str) -> bool:
-    """FastqExtractor.cpp:89-111: dominated by one base, too many Ns, or
-    at least two bases nearly absent."""
+    """Single-read wrapper over low_complexity_flags."""
     codes = encode_seq(seq)
-    cnt = np.bincount(codes, minlength=5)
-    n = len(seq)
-    if (cnt[0] >= n // 2 or cnt[1] >= n // 2 or cnt[2] >= n // 2
-            or cnt[3] >= n // 2 or cnt[4] >= n // 10):
-        return True
-    low = int((cnt[:4] <= 2).sum())
-    return low >= 2
+    return bool(low_complexity_flags(
+        codes, np.zeros(len(codes), np.int64),
+        np.array([len(seq)], np.int64))[0])
 
 
 @dataclass
@@ -211,7 +220,13 @@ def run_extractor(
                                     opts.barcode_revcomp)
                 if corrector is not None:
                     bc = corrector.correct(bc, bc_recs[i].qual)
-                fbc.write(f">{recs1[i].id}\n{bc if bc else 'missing_barcode'}\n")
+                # only an UNCORRECTABLE barcode becomes missing_barcode;
+                # a nonempty raw barcode SLICED to empty is emitted as an
+                # empty line (OutputBarcode only tests the raw barcode,
+                # FastqExtractor.cpp:157-199, and Correct("") resolves at
+                # the trie root)
+                fbc.write(f">{recs1[i].id}\n"
+                          f"{bc if bc is not None else 'missing_barcode'}\n")
             else:
                 fbc.write(f">{recs1[i].id}\nmissing_barcode\n")
 

@@ -419,9 +419,14 @@ def _general_info(reader: "NativeBamReader", sample_max: int = 100000):
     lens = (np.concatenate(len_chunks) if len_chunks
             else np.zeros(0, np.int32))
     read_len = int(lens.max()) if len(lens) else 0
-    if has_mate >= total / 2 and total:
-        mate_diff = (np.concatenate(mate_chunks) if mate_chunks
-                     else np.zeros(0, np.int64))
+    mate_diff = (np.concatenate(mate_chunks) if mate_chunks
+                 else np.zeros(0, np.int64))
+    # C integer division (alignments.hpp:660: hasMateCnt >=
+    # totalReadCnt/2).  When that gate passes with NO mate-diff samples
+    # the reference divides by zero (k==0 at alignments.hpp:674) and
+    # dies; we fall back to single-end mode instead (survival deviation,
+    # pinned by test_missing_qual_records_emit_space_quals).
+    if total and has_mate >= total // 2 and len(mate_diff):
         mate_diff.sort()
         k = max(int(len(mate_diff) * 0.7), 1)
         vals = mate_diff[:k] + read_len
@@ -609,12 +614,9 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             starts = np.zeros(n, np.int64)
             starts[1:] = np.cumsum(lens[:-1])
             codes = encode_seq("".join(screen_seqs))
-            # vectorized is_low_complexity (FastqExtractor.cpp:89-111)
             seg = np.repeat(np.arange(n), lens)
-            cnt = np.bincount(seg * 5 + codes, minlength=n * 5)                 .reshape(n, 5)
-            lc = ((cnt[:, :4] >= (lens // 2)[:, None]).any(axis=1)
-                  | (cnt[:, 4] >= lens // 10)
-                  | ((cnt[:, :4] <= 2).sum(axis=1) >= 2))
+            from ..core.extractor import low_complexity_flags
+            lc = low_complexity_flags(codes, seg, lens)
             hits = engine.screen_batch(
                 codes, starts, lens.astype(np.int32))
             passed = (hits.astype(bool) & ~lc).tolist()
@@ -700,8 +702,11 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                         "showing up together. Use --abnormalUnmapFlag.")
                 seq2 = mate.original_seq()
                 qual2 = mate.original_qual()
+                # mate order is decided from the SECOND record's
+                # first-mate flag after advancing (BamExtractor.cpp:
+                # 681: `!alignments.IsFirstMate()` queries the mate)
                 jobs.append(("pair", name, seq1, qual1, seq2, qual2,
-                             bc_snapshot(mate), not rec.is_first_mate,
+                             bc_snapshot(mate), mate.is_first_mate,
                              want_screen(seq1), want_screen(seq2)))
             else:
                 seq = rec.original_seq()

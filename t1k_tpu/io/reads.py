@@ -69,11 +69,27 @@ def read_seq_file(path: str) -> Iterator[SeqRecord]:
                     line = f.readline()
                 yield SeqRecord(name, "".join(chunks), None, comment)
             elif line[0] == "@":
+                # kseq semantics: the sequence may wrap over multiple
+                # lines until the '+' separator, and the quality
+                # accumulates until it is at least as long as the
+                # sequence (kseq.h ks_getuntil loops)
                 name, comment = _parse_header(line)
-                seq = f.readline().strip()
-                f.readline()  # '+'
-                qual = f.readline().strip()
-                yield SeqRecord(name, seq, qual, comment)
+                chunks = []
+                line = f.readline()
+                while line and line[0] != "+":
+                    chunks.append(line.strip())
+                    line = f.readline()
+                seq = "".join(chunks)
+                qchunks = []
+                qlen = 0
+                while qlen < len(seq):
+                    line = f.readline()
+                    if not line:
+                        break
+                    part = line.strip()
+                    qchunks.append(part)
+                    qlen += len(part)
+                yield SeqRecord(name, seq, "".join(qchunks), comment)
                 line = f.readline()
             else:
                 raise ValueError(f"{path}: unexpected line {line[:40]!r}")

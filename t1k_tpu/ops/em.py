@@ -105,6 +105,23 @@ def _em_loop(
         diff = jnp.abs(x1 - x).sum()
         return x1, count, diff
 
+    mask_reset = _make_mask_reset(
+        ec_len, ec_size, ec_first_allele, allele_ec, allele_valid,
+        allele_gene, allele_major, gene_cnt, major_cnt, filter_frac)
+
+    return _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
+                          ec_cnt, max_iterations, mask_round, dtype)
+
+
+def _make_mask_reset(ec_len, ec_size, ec_first_allele, allele_ec,
+                     allele_valid, allele_gene, allele_major,
+                     gene_cnt: int, major_cnt: int, filter_frac: float):
+    """Every-10-rounds abundance mask (Genotyper.hpp:1292-1313), shared
+    by the segment and dense EM loops: major-allele abundances below
+    filter_frac * 0.5 * their gene's max reset their EC abundance to 0.
+    (The cohort-batched loop carries a vmapped variant of the same
+    rule.)"""
+
     def mask_reset(count):
         ec_abund = count / ec_len * 1000.0
         allele_abund = jnp.where(
@@ -118,8 +135,7 @@ def _em_loop(
         first_masked = masked[ec_first_allele]
         return jnp.where(first_masked, 0.0, ec_abund)
 
-    return _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
-                          ec_cnt, max_iterations, mask_round, dtype)
+    return mask_reset
 
 
 def _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
@@ -189,18 +205,9 @@ def _em_loop_dense(
         diff = jnp.abs(x1 - x).sum()
         return x1, count, diff
 
-    def mask_reset(count):
-        ec_abund = count / ec_len * 1000.0
-        allele_abund = jnp.where(
-            allele_valid, ec_abund[allele_ec] / ec_size[allele_ec], 0)
-        major_abund = _segment_sum(allele_abund, allele_major, major_cnt)
-        per_allele_major = major_abund[allele_major]
-        gene_max = jax.ops.segment_max(
-            jnp.where(allele_valid, per_allele_major, 0), allele_gene,
-            num_segments=gene_cnt)
-        masked = per_allele_major < filter_frac * 0.5 * gene_max[allele_gene]
-        first_masked = masked[ec_first_allele]
-        return jnp.where(first_masked, 0.0, ec_abund)
+    mask_reset = _make_mask_reset(
+        ec_len, ec_size, ec_first_allele, allele_ec, allele_valid,
+        allele_gene, allele_major, gene_cnt, major_cnt, filter_frac)
 
     return _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
                           ec_cnt, max_iterations, mask_round, dtype)

@@ -174,6 +174,11 @@ def classify_reads(table: DeviceKmerTable, codes: np.ndarray, lens: np.ndarray):
     rows = 256
     while rows < n:
         rows *= 2
+    if codes.shape[1] < table.k:
+        # every read shorter than k: no window can match (the exact
+        # screen returns false for len < k); avoid a negative window
+        # axis in the kernel
+        return (np.zeros(n, np.int32), np.zeros(n, np.int32))
     if rows != n:
         codes = np.vstack([codes, np.zeros((rows - n, codes.shape[1]), codes.dtype)])
         lens = np.concatenate([lens, np.zeros(rows - n, lens.dtype)])
@@ -191,8 +196,15 @@ def classify_reads(table: DeviceKmerTable, codes: np.ndarray, lens: np.ndarray):
 def prefilter_flags(table: DeviceKmerTable, codes: np.ndarray,
                     lens: np.ndarray, hit_len_required: int) -> np.ndarray:
     """Conservative candidate prefilter: keep a read iff its total
-    matching windows could satisfy the exact screen's bucket-size
-    requirement (no false negatives by construction)."""
+    matching windows could satisfy the exact screen's chain-length
+    requirement (no false negatives by construction).
+
+    The exact screen accepts when lisSize*k >= hitLenRequired
+    (SeqSet.hpp:1959-1978) and the LIS length is bounded by the number
+    of distinct index-matching windows, so ceil(hitLenRequired/k)
+    windows are necessary.  No constant floor above that is safe: the
+    screen's minHitRequired=3 counts POSTING hits, and one window whose
+    k-mer occurs several times in an allele yields several hits."""
     fwd, rc = classify_reads(table, codes, lens)
-    need = max(3, -(-hit_len_required // table.k))
+    need = max(1, -(-hit_len_required // table.k))
     return np.asarray((fwd + rc) >= need)

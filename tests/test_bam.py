@@ -264,3 +264,42 @@ def test_run_driver_umi_routing(tmp_path):
     for k, name_line in enumerate(cand_names):
         assert lines[2 * k] == ">" + name_line[1:]
         assert lines[2 * k + 1] == umi_of[name_line[1:]]
+
+
+def test_paired_detection_integer_division(tmp_path):
+    """Paired-vs-single detection uses C integer division
+    (alignments.hpp: hasMateCnt >= totalReadCnt/2): an odd primary
+    sample with exactly floor(total/2) paired records stays paired."""
+    from t1k_tpu.io.bam import BamRecord, BamWriter, NativeBamReader, _general_info
+
+    seq = "ACGTACGTACGTACGTACGTACGTACGT"
+    q = "I" * len(seq)
+    # 3 primary records, exactly 1 flagged paired (1 >= 3/2=1 in C)
+    bam2 = str(tmp_path / "odd.bam")
+    w = BamWriter(bam2, ["chr1"], [100000], "@HD\tVN:1.6\tSO:coordinate\n")
+    w.write(BamRecord("p", 0x63, 0, 100, 60, [(len(seq), 0)], 0, 400,
+                      300 + len(seq), seq, q, {}))
+    w.write(BamRecord("s1", 0x0, 0, 500, 60, [(len(seq), 0)], -1, -1, 0,
+                      seq, q, {}))
+    w.write(BamRecord("s2", 0x0, 0, 700, 60, [(len(seq), 0)], -1, -1, 0,
+                      seq, q, {}))
+    w.close()
+    _, _, frag_stdev = _general_info(NativeBamReader(bam2))
+    assert frag_stdev != 0, "1 paired of 3 must be detected as paired"
+
+
+def test_multiline_fastq_records(tmp_path):
+    """kseq accepts sequence/quality wrapped over multiple lines in
+    FASTQ; the stream must not desynchronize."""
+    from t1k_tpu.io.reads import read_seq_file
+
+    p = str(tmp_path / "wrap.fq")
+    with open(p, "w") as f:
+        f.write("@r1 cmt\nACGTACGT\nTTTT\n+\nIIIIIIII\nJJJJ\n"
+                "@r2\nGGGG\n+ r2\nKKKK\n")
+    recs = list(read_seq_file(p))
+    assert [(r.id, r.seq, r.qual) for r in recs] == [
+        ("r1", "ACGTACGTTTTT", "IIIIIIIIJJJJ"),
+        ("r2", "GGGG", "KKKK"),
+    ]
+    assert recs[0].comment == "cmt"
