@@ -77,16 +77,16 @@ class RefContext:
         # sentinel-augmented like the reference (SeqSet.hpp:924-928):
         # -1 and len() count as separators for the boundary checks
         self.separators = [
-            [-1] + list(a.separators) + [a.length] for a in refset.alleles]
+            np.asarray([-1] + list(a.separators) + [a.length],
+                       dtype=np.int64)
+            for a in refset.alleles]
         self.hit_len_required = hit_len_required
         self.relax_intron_align = relax_intron_align
         self.ref_seq_similarity = ref_seq_similarity
 
     def separator_in_range(self, s: int, e: int, seq_idx: int) -> bool:
         seps = self.separators[seq_idx]
-        if len(seps) == 0:
-            return False
-        i = np.searchsorted(seps, s, side="left")
+        i = int(np.searchsorted(seps, s, side="left"))
         return i < len(seps) and seps[i] <= e
 
 

@@ -340,11 +340,24 @@ class VariantCaller:
         bounds = np.zeros(n_live + 1, dtype=np.int64)
         np.cumsum(cnts, out=bounds[1:])
         g_rps = np.concatenate([o.walk_cache[3] for (o, _, _) in live])
+        # the same read's codes back many live items (one per allele
+        # assignment x mate end): concatenate each distinct array once
+        # and point the items at shared offsets (id() keys are unique
+        # here — every rc is kept alive by `live` itself)
         rc_list = [rc for (_, rc, _) in live]
-        rlens = np.fromiter((len(rc) for rc in rc_list), np.int64, n_live)
-        rbase = np.zeros(n_live, dtype=np.int64)
-        np.cumsum(rlens[:-1], out=rbase[1:])
-        arena = np.concatenate(rc_list)
+        uniq_pos: Dict[int, int] = {}
+        uniq_rcs: List[np.ndarray] = []
+        for rc in rc_list:
+            if id(rc) not in uniq_pos:
+                uniq_pos[id(rc)] = len(uniq_rcs)
+                uniq_rcs.append(rc)
+        u_lens = np.fromiter((len(rc) for rc in uniq_rcs), np.int64,
+                             len(uniq_rcs))
+        u_base = np.zeros(len(uniq_rcs), dtype=np.int64)
+        np.cumsum(u_lens[:-1], out=u_base[1:])
+        arena = np.concatenate(uniq_rcs)
+        rbase = np.fromiter((u_base[uniq_pos[id(rc)]] for rc in rc_list),
+                            np.int64, n_live)
         g_nuc = arena[np.concatenate([o.walk_cache[4] for (o, _, _) in live])
                       + np.repeat(rbase, cnts)]
         g_idx = g_rps * 4 + g_nuc
@@ -435,20 +448,19 @@ class VariantCaller:
         self.candidate_root = []
         for i, a in enumerate(self.refset.alleles):
             bv = self.base[i]
-            codes = a.codes
-            for j in range(a.length):
-                ref_nuc = codes[j]
-                if ref_nuc >= 4:
-                    continue
-                ref_count = bv.count[j, ref_nuc]
-                for k in range(4):
-                    if (bv.count[j, k] >= 5 and bv.count[j, k] >= ref_count * 0.5
-                            and k != ref_nuc):
-                        bv.candidate_id[j] = len(self.candidate_variants)
-                        self.candidate_variants.append((i, j))
-                        self.candidate_group_id.append(-1)
-                        self.candidate_root.append(True)
-                        break
+            codes = np.asarray(a.codes[:a.length])
+            cnt = bv.count[:a.length]
+            valid = codes < 4
+            ref_idx = np.where(valid, codes, 0).astype(np.int64)
+            rows = np.arange(len(codes))
+            ref_count = cnt[rows, ref_idx]
+            hit = (cnt >= 5) & (cnt >= ref_count[:, None] * 0.5)
+            hit[rows, ref_idx] = False  # k != ref_nuc
+            for j in np.flatnonzero(valid & hit.any(axis=1)):
+                bv.candidate_id[j] = len(self.candidate_variants)
+                self.candidate_variants.append((i, int(j)))
+                self.candidate_group_id.append(-1)
+                self.candidate_root.append(True)
 
     def _expand_fragment(self, frags: List, adj_weight: List[Dict[int, float]]):
         """One fragment's contribution to candidate expansion + var-var

@@ -31,7 +31,12 @@ def _build_if_needed() -> None:
         os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs
     ):
         return
-    subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            f"native engine build failed:\n{e.stdout}\n{e.stderr}") from e
 
 
 _build_if_needed()

@@ -60,13 +60,19 @@ struct InflatePool {
     for (auto& w : workers) w.join();
   }
 
-  static void InflateOne(z_stream& zs, const Task& t) {
+  std::atomic<bool> fail{false};
+
+  void InflateOne(z_stream& zs, const Task& t) {
     inflateReset(&zs);
     zs.next_in = const_cast<Bytef*>(t.src);
     zs.avail_in = (uInt)t.srcLen;
     zs.next_out = t.dst;
     zs.avail_out = (uInt)t.dstLen;
-    inflate(&zs, Z_FINISH);
+    int rc = inflate(&zs, Z_FINISH);
+    // a corrupt/truncated member must not be silently accepted: the
+    // zero-filled dst would parse as garbage records downstream
+    if (rc != Z_STREAM_END || zs.avail_out != 0)
+      fail.store(true, std::memory_order_relaxed);
   }
 
   void Run() {
@@ -92,7 +98,8 @@ struct InflatePool {
   }
 
   // Run all tasks (caller's thread participates), blocking until done.
-  void Execute(std::vector<Task>&& batch) {
+  // Returns false when any member failed to inflate cleanly.
+  bool Execute(std::vector<Task>&& batch) {
     z_stream zs{};
     inflateInit2(&zs, -15);
     {
@@ -101,6 +108,7 @@ struct InflatePool {
       next = 0;
       done = 0;
       ++generation;
+      fail.store(false, std::memory_order_relaxed);
     }
     cvWork.notify_all();
     for (;;) {
@@ -118,6 +126,7 @@ struct InflatePool {
     inflateEnd(&zs);
     std::unique_lock<std::mutex> lk(mu);
     cvDone.wait(lk, [&] { return done == tasks.size(); });
+    return !fail.load(std::memory_order_relaxed);
   }
 };
 
@@ -311,7 +320,13 @@ static bool RefillParallel(Scanner& s) {
                      dst, m.outLen});
     dst += m.outLen;
   }
-  s.pool->Execute(std::move(tasks));
+  if (!s.pool->Execute(std::move(tasks))) {
+    // corrupt/truncated member: drop this batch's (partially zeroed)
+    // output and stop, like the serial path does on an inflate error
+    s.data.resize(base);
+    s.eof = true;
+    return s.data.size() > s.dataPos;
+  }
   s.compPos = p;
   return true;
 }
@@ -458,7 +473,9 @@ void* t1k_bam_open2(const char* path, const char* bc_tag,
   {
     uint8_t head[18];
     size_t got = fread(head, 1, sizeof(head), s->fp);
-    fseek(s->fp, 0, SEEK_SET);
+    // keep the probe bytes by staging them into the compressed rolling
+    // buffer: seeking back fails silently on pipes/FIFOs
+    s->comp.insert(s->comp.end(), head, head + got);
     bool bgzf = false;
     if (got == sizeof(head) && head[0] == 0x1f && head[1] == 0x8b &&
         head[2] == 8 && (head[3] & 4)) {

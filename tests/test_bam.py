@@ -303,3 +303,54 @@ def test_multiline_fastq_records(tmp_path):
         ("r2", "GGGG", "KKKK"),
     ]
     assert recs[0].comment == "cmt"
+
+
+def test_bam_from_pipe(tmp_path):
+    """Non-seekable input (FIFO): the BGZF probe must not rely on
+    seeking back — probe bytes are staged into the compressed buffer."""
+    import subprocess
+
+    from t1k_tpu.io.bam import BamRecord, BamWriter, NativeBamReader
+
+    bam = str(tmp_path / "x.bam")
+    w = BamWriter(bam, ["chr1"], [100000], "@HD\tVN:1.6\n")
+    seq = "ACGT" * 10
+    for i in range(50):
+        w.write(BamRecord(f"r{i}", 0x0, 0, 100 + i, 60, [(len(seq), 0)],
+                          -1, -1, 0, seq, "I" * len(seq), {}))
+    w.close()
+    fifo = str(tmp_path / "fifo.bam")
+    os.mkfifo(fifo)
+    feeder = subprocess.Popen(["sh", "-c", f"cat {bam} > {fifo}"])
+    try:
+        assert sum(1 for _ in NativeBamReader(fifo)) == 50
+    finally:
+        feeder.wait()
+
+
+def test_corrupt_bam_fails_gracefully(tmp_path):
+    """A corrupt BGZF member must raise or stop cleanly — never emit
+    zero-filled garbage records (InflatePool verifies inflate status)."""
+    import pytest as _pytest
+
+    from t1k_tpu.io.bam import BamRecord, BamWriter, NativeBamReader
+
+    bam = str(tmp_path / "x.bam")
+    w = BamWriter(bam, ["chr1"], [100000], "@HD\tVN:1.6\n")
+    seq = "ACGT" * 10
+    for i in range(50):
+        w.write(BamRecord(f"r{i}", 0x0, 0, 100 + i, 60, [(len(seq), 0)],
+                          -1, -1, 0, seq, "I" * len(seq), {}))
+    w.close()
+    data = bytearray(open(bam, "rb").read())
+    mid = len(data) // 2
+    data[mid:mid + 8] = b"\x00" * 8
+    corrupt = str(tmp_path / "corrupt.bam")
+    open(corrupt, "wb").write(bytes(data))
+    try:
+        names = [r.name for r in NativeBamReader(corrupt)]
+    except (OSError, RuntimeError):
+        return  # clean failure
+    # or a clean truncation: whatever was yielded must be real records
+    assert all(n.startswith("r") for n in names)
+    assert len(names) < 50
