@@ -49,7 +49,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             argv[i] = f"--varMaxGroup={argv[i + 1]}"
             del argv[i + 1]
             break
-    args = build_parser().parse_args(argv)
+    from . import fold_negative_values
+    args = build_parser().parse_args(
+        fold_negative_values(argv) if argv is not None
+        else fold_negative_values(__import__('sys').argv[1:]))
     opts = AnalyzerOptions(
         ref_seq_similarity=args.similarity,
         relax_intron_align=args.relaxIntronAlign,

@@ -55,7 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     from ..core.pipeline import GenotypeOptions, run_genotyper
 
-    args = build_parser().parse_args(argv)
+    from . import fold_negative_values
+    args = build_parser().parse_args(
+        fold_negative_values(argv) if argv is not None
+        else fold_negative_values(__import__('sys').argv[1:]))
     opts = GenotypeOptions(
         ref_seq_similarity=args.similarity,
         relax_intron_align=args.relaxIntronAlign,

@@ -99,15 +99,11 @@ def resolve_preset(preset: str, similarity: Optional[float],
 def main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
-    # "--post-varMaxGroup -1" (no-limit, accepted by the reference's
-    # getopt) would be read by argparse as the -1 option; fold it in
-    argv = list(argv)
-    for i, tok in enumerate(argv[:-1]):
-        if tok == "--post-varMaxGroup" and argv[i + 1].lstrip("-").isdigit():
-            argv[i] = f"--post-varMaxGroup={argv[i + 1]}"
-            del argv[i + 1]
-            break
-    args = build_parser().parse_args(argv)
+    # negative option values (--post-varMaxGroup -1,
+    # --squaremMinAlpha -0.5, --alleleDigitUnits -1) would be read by
+    # argparse as the -1/-2 options; fold them in
+    from . import fold_negative_values
+    args = build_parser().parse_args(fold_negative_values(argv))
 
     geno_sim, extract_sim, relax = resolve_preset(
         args.preset, args.similarity, args.relaxIntronAlign)
@@ -116,6 +112,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     paired = bool(args.second) or bool(args.interleaved)
     if not first and not args.interleaved and not args.bam:
         print("Need -1/-2, -u, -i or -b to specify input reads.", file=sys.stderr)
+        return 1
+    if args.bam and not args.coord:
+        # run-t1k:284-287 dies with the same diagnostic
+        print("Need to use -c to specify gene coordinate file for BAM "
+              "input.", file=sys.stderr)
         return 1
 
     prefix = args.prefix

@@ -23,7 +23,10 @@ def add_gene_coord(ref_fa: str, gtf: str, out=sys.stdout,
     with open(ref_fa) as f:
         for line in f:
             if line.startswith(">"):
-                gene = line[1:].split("*")[0]
+                # pass-1 key splits the whole chomped header on '*'
+                # (AddGeneCoord.pl:44 does NOT take the first token), so
+                # a header without '*' keys the full line incl. comment
+                gene = line.rstrip("\n")[1:].split("*")[0]
                 gene_coord[gene] = "chr19 -1 -1 +"
 
     with open(gtf) as f:
@@ -52,7 +55,10 @@ def add_gene_coord(ref_fa: str, gtf: str, out=sys.stdout,
                 out.write(seq + "\n")
             header = line.split()[0]
             gene = header[1:].split("*")[0]
-            out.write(f"{header} {gene_coord[gene]}\n")
+            # a first-token gene missing from pass 1 (header with a
+            # comment but no '*') prints an empty coordinate like the
+            # reference's undef interpolation (AddGeneCoord.pl:99-100)
+            out.write(f"{header} {gene_coord.get(gene, '')}\n")
             seq = ""
         if seq:
             out.write(seq + "\n")

@@ -62,6 +62,7 @@ def build_database(
     os.makedirs(outdir, exist_ok=True)
     if not dat and download:
         dat = download_dat(download, outdir)
+    gene = gene.lower()  # t1k-build.pl:83 lowercases --target
     if not prefix:
         prefix = gene or (outdir.split("/")[0] if outdir != "./" else "T1K_ref")
 
@@ -107,8 +108,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="IPD-IMGT/HLA, IPD-KIR, or a URL")
     ap.add_argument("-o", dest="outdir", default="./")
     ap.add_argument("--prefix", default="")
-    ap.add_argument("-g", dest="gene", default="")
-    ap.add_argument("-a", dest="annotation", default=None, help="GTF file")
+    # flag names mirror t1k-build.pl: -g is the GTF annotation,
+    # --target the gene keyword filter (-a kept as a -g alias)
+    ap.add_argument("--target", dest="gene", default="")
+    ap.add_argument("-g", "-a", dest="annotation", default=None,
+                    help="GTF annotation file")
     ap.add_argument("--ignorePartial", action="store_true")
     ap.add_argument("--partialIntronHasNoSeq", action="store_true")
     args = ap.parse_args(argv)

@@ -442,7 +442,11 @@ def build_allele_fasta(dat_path: str, out: TextIO,
                         and exons[2 * i] - 1 - pad >= 0
                         and s[exons[2 * i - 1] - 1 - pad] == "N"):
                     trim_side = -1
-                    pos_n = exons[2 * i - 1] - 1 - pad
+                    # NOTE the reference CHECKS the 'N' at
+                    # exons[2i-1]-1-pad (previous exon's end) but TRIMS
+                    # at posN = exons[2i]-1-pad (this exon's start) —
+                    # ParseDatFile.pl:667 vs :671; mirror the mismatch
+                    pos_n = exons[2 * i] - 1 - pad
                     new_seq = s[:pos_n + 1] + s[pos_n + trim + 1:]
                 else:
                     continue

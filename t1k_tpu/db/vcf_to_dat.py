@@ -23,15 +23,21 @@ from typing import Dict, List, Optional, TextIO
 def combine_vcfs(default_allele: str, vcf_files: List[str], out: TextIO) -> None:
     chrom = "."
     for fname in vcf_files:
+        # CombineVcf.pl:26-28 re-applies s/.vcf// and s/_/*/ to the
+        # ALREADY-transformed name on every data line, so a filename
+        # with several underscores yields a progressively different
+        # allele name per variant row — mirrored
+        name = fname
         with open(fname) as fp:
             for line in fp:
                 if line.startswith("#"):
                     continue
                 cols = line.split()
                 chrom = cols[0]
-                allele = os.path.basename(
-                    re.sub(r"_", "*", re.sub(r".vcf", "", fname, count=1), count=1))
-                out.write("\t".join([allele] + cols[0:7]) + "\n")
+                name = re.sub(r"_", "*", re.sub(r".vcf", "", name, count=1),
+                              count=1)
+                name = os.path.basename(name)
+                out.write("\t".join([name] + cols[0:7]) + "\n")
     out.write("\t".join([default_allele, chrom, "0", ".", ".", ".", ".", "."]) + "\n")
 
 

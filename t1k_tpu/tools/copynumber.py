@@ -24,7 +24,10 @@ def infer_copy_number(gfile: str, nomissing: str = "", upper_quantile: float = 0
     gene_rank: Dict[str, int] = {}
     gene_to_alleles: Dict[str, List[str]] = {}
     allele_info: Dict[str, dict] = {}
-    nomissing_genes = set(nomissing.split(",")) if nomissing else set()
+    # ordered like the reference's {g: 1 for g in split(",")} dict: the
+    # iteration below accumulates floats in the user's comma order
+    nomissing_genes = (dict.fromkeys(nomissing.split(","))
+                       if nomissing else {})
 
     with open(gfile) as fp:
         for gi, line in enumerate(fp):
@@ -51,8 +54,11 @@ def infer_copy_number(gfile: str, nomissing: str = "", upper_quantile: float = 0
 
     start = int((len(allele_info) - used) * lower_quantile)
     end = int((len(allele_info) - used) * upper_quantile)
-    heter = [a for g, alleles in gene_to_alleles.items()
-             if g not in nomissing_genes and len(alleles) > 1 for a in alleles]
+    # dict like the reference's heterAlleles: a homozygous gene reported
+    # with the same allele name in both slots contributes ONE pool entry
+    heter = dict.fromkeys(
+        a for g, alleles in gene_to_alleles.items()
+        if g not in nomissing_genes and len(alleles) > 1 for a in alleles)
     abundances.extend(sorted(math.sqrt(allele_info[a]["abund"]) for a in heter)[start:end])
 
     n = len(abundances)

@@ -1,13 +1,18 @@
 """Filter candidate reads by ids aligned in an external SAM
-(reference ExtractBamHits.pl)."""
+(reference ExtractBamHits.pl).
+
+The reference matches the ENTIRE post-'@' header line (its
+`my @cols = substr($header, 1)` never splits, ExtractBamHits.pl:34)
+against the SAM qname, and reprints the original record lines
+verbatim — mirrored here, so reads whose fastq headers carry comments
+only match when the SAM qname contains the whole header.
+"""
 
 from __future__ import annotations
 
 import argparse
 import sys
 from typing import List, Optional
-
-from ..io.reads import read_seq_file
 
 
 def extract_sam_hits(sam_path: str, fq_path: str, out=sys.stdout) -> int:
@@ -16,17 +21,23 @@ def extract_sam_hits(sam_path: str, fq_path: str, out=sys.stdout) -> int:
         for line in f:
             if line.startswith("@"):
                 continue
-            cols = line.split("\t")
+            cols = line.split()
             if len(cols) > 2 and cols[2] != "*":
                 ids.add(cols[0])
     n = 0
-    for rec in read_seq_file(fq_path):
-        if rec.id in ids:
-            n += 1
-            if rec.qual is None:
-                out.write(f">{rec.id}\n{rec.seq}\n")
-            else:
-                out.write(f"@{rec.id}\n{rec.seq}\n+\n{rec.qual}\n")
+    with open(fq_path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                break
+            seq = f.readline()
+            sep = qual = ""
+            if header.startswith("@"):
+                sep = f.readline()
+                qual = f.readline()
+            if header.rstrip("\n")[1:] in ids:
+                n += 1
+                out.write(header.rstrip("\n") + "\n" + seq + sep + qual)
     return n
 
 

@@ -82,6 +82,22 @@ def make_dat(rng, path):
                 allele = f"{gene}*{a + 1:03d}"
                 ex = [_mutate(rng, e, rng.uniform(0.0, 0.02))
                       for e in exons_t]
+                ex_introns = list(introns_t)
+                # exonized allele: an internal exon annexes a few bases
+                # of its flanking intron (exon longer than the gene
+                # modal, true intron shorter) — drives ParseDatFile's
+                # exonization trimming incl. the left-trim branch
+                if n_ex >= 2 and a >= 1 and rng.random() < 0.25:
+                    j = rng.randint(1, n_ex - 1)
+                    delta = rng.randint(3, min(12, len(ex_introns[j - 1]) - 5))
+                    if rng.random() < 0.5:
+                        # exon j grows leftward into intron j-1
+                        ex[j] = ex_introns[j - 1][-delta:] + ex[j]
+                        ex_introns[j - 1] = ex_introns[j - 1][:-delta]
+                    else:
+                        # exon j-1 grows rightward into intron j-1
+                        ex[j - 1] = ex[j - 1] + ex_introns[j - 1][:delta]
+                        ex_introns[j - 1] = ex_introns[j - 1][delta:]
                 if dup_from is not None and rng.random() < 0.3:
                     ex = dup_from  # duplicate sequence for --dedup
                 elif rng.random() < 0.3:
@@ -113,7 +129,7 @@ def make_dat(rng, path):
                         feats.append("/pseudo")
                     pos += len(ex[i])
                     if i + 1 < hi:
-                        intr = introns_t[i]
+                        intr = ex_introns[i]
                         parts.append(intr)
                         feats.append(
                             f"intron        {pos}..{pos + len(intr) - 1}")
@@ -144,6 +160,35 @@ def _run_mine(dat, args):
         capture_output=True, text=True, env=env)
 
 
+
+def _records(text):
+    recs, name, seq = [], None, []
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if name is not None:
+                recs.append((name, "".join(seq)))
+            name, seq = line, []
+        else:
+            seq.append(line)
+    if name is not None:
+        recs.append((name, "".join(seq)))
+    return recs
+
+
+def _benign_order_diff(ref, mine, dedup):
+    """The reference appends rescued partial alleles in PERL HASH ORDER
+    (ParseDatFile.pl:524 `keys %partialAlleles`, :572) — its own output
+    order varies across runs.  Accept order-insensitive record equality;
+    under --dedup the surviving NAME of a duplicate group also depends
+    on that order, so accept equal sequence multisets + equal counts."""
+    a, b = _records(ref), _records(mine)
+    if sorted(a) == sorted(b):
+        return True
+    if dedup and len(a) == len(b):
+        return sorted(s for _, s in a) == sorted(s for _, s in b)
+    return False
+
+
 def run_case(seed):
     rng = random.Random(seed)
     case = f"{OUT}/case_{seed}"
@@ -172,7 +217,8 @@ def run_case(seed):
         m = _run_mine(dat, args)
         if m.returncode != 0:
             failures.append(("crash", mode, args, m.stderr[-300:]))
-        elif m.stdout != r.stdout:
+        elif m.stdout != r.stdout and not _benign_order_diff(
+                r.stdout, m.stdout, "--dedup" in args):
             failures.append(("diff", mode, args))
     if any(f[0] != "refcrash" for f in failures):
         for f in failures:

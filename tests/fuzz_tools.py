@@ -54,6 +54,8 @@ def make_genotype(rng, path, genes):
         n = rng.choices([0, 1, 2], weights=[0.2, 0.3, 0.5])[0]
         f1 = _allele_field(rng, gene) if n >= 1 else "."
         f2 = _allele_field(rng, gene) if n >= 2 else "."
+        if n == 2 and rng.random() < 0.2:
+            f2 = f1  # homozygous reported with the same allele twice
         q1 = rng.randint(-1, 60) if n >= 1 else -1
         q2 = rng.randint(-1, 60) if n >= 2 else -1
         a1 = _abund(rng) if n >= 1 else "0"
@@ -148,7 +150,8 @@ def run_case(seed):
     if rng.random() < 0.3:
         cargs += ["-q", str(rng.choice([0, 20]))]
     if rng.random() < 0.3:
-        cargs += ["--nomissing", ",".join(rng.sample(genes, 1))]
+        cargs += ["--nomissing",
+                  ",".join(rng.sample(genes, rng.randint(1, 2)))]
     for path in files[:2]:
         a = ["-g", path] + cargs
         r = _ref("t1k-copynumber.py", a)

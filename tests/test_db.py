@@ -100,3 +100,16 @@ def test_gtf_to_dat_strand_overwrite_quirk(tmp_path):
     with open(os.path.join(GOLDEN_DIR, "gtfdat_strand.dat")) as f:
         want = f.read()
     assert got == want
+
+
+def test_left_exonization_trim(tmp_path):
+    """Left-side exonization trimming: the reference CHECKS the 'N' at
+    exons[2i-1]-1-pad but TRIMS at posN = exons[2i]-1-pad
+    (ParseDatFile.pl:665-674) — a positional mismatch that only fires
+    when the previous exon is 1bp; golden generated from the Perl
+    reference on a 4-exon gene whose third exon annexes intron bases."""
+    out = io.StringIO()
+    build_allele_fasta(os.path.join(DATA_DIR, "synth_exonized.dat"), out,
+                       BuildOptions(mode="dna", intron_padding=30))
+    with open(os.path.join(GOLDEN_DIR, "synth_exonized_dna.fa")) as f:
+        assert out.getvalue() == f.read()
