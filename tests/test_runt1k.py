@@ -77,3 +77,32 @@ def test_no_extraction_requires_direct_reads(tmp_path):
                "-i", os.path.join(DATA_DIR, "multigene_1.fq"),
                "--od", str(tmp_path), "--noExtraction"])
     assert rc == 1
+
+
+def test_config_and_metrics_provenance(tmp_path):
+    """The driver serializes the resolved config (<prefix>_config.json,
+    PipelineConfig round-trip) and per-stage metrics
+    (<prefix>_metrics.json with wall time + throughput counters)."""
+    import json
+
+    from t1k_tpu.cli.run import main
+    from t1k_tpu.config import PipelineConfig
+
+    outdir = str(tmp_path / "prov")
+    rc = main(["-f", os.path.join(DATA_DIR, "multigene_rna.fa"),
+               "-1", os.path.join(DATA_DIR, "multigene_1.fq"),
+               "-2", os.path.join(DATA_DIR, "multigene_2.fq"),
+               "--od", outdir, "-o", "p", "--preset", "hla",
+               "--skipPostAnalysis"])
+    assert rc == 0
+    cfg = PipelineConfig.load(os.path.join(outdir, "p_config.json"))
+    assert cfg.preset == "hla"
+    assert cfg.similarity == 0.97  # hla preset resolved into the config
+    assert cfg.skip_post_analysis
+    with open(os.path.join(outdir, "p_metrics.json")) as f:
+        metrics = json.load(f)
+    for stage_name in ("read_assignment", "fragment_assignment",
+                       "em_quantification", "allele_selection"):
+        assert stage_name in metrics, metrics.keys()
+        assert metrics[stage_name]["seconds"] >= 0
+    assert metrics["read_assignment"]["read_count"] > 0
