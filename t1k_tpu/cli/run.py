@@ -118,6 +118,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("Need to use -c to specify gene coordinate file for BAM "
               "input.", file=sys.stderr)
         return 1
+    if args.noExtraction and not first:
+        # validated BEFORE any output (incl. the config file) is written
+        print("--noExtraction requires -1/-2 or -u input.", file=sys.stderr)
+        return 1
 
     prefix = args.prefix
     if not prefix:
@@ -204,13 +208,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             files1, files2 = [], None
     else:
-        if not first:
-            # -i with --noExtraction: the reference driver falls through
-            # to nonexistent candidate files and its genotyper dies on
-            # open (run-t1k:389-415); fail with a clear message instead
-            print("--noExtraction requires -1/-2 or -u input.",
-                  file=sys.stderr)
-            return 1
         files1 = [first[0]]
         files2 = [args.second[0]] if args.second else None
         paired = files2 is not None
