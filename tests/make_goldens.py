@@ -464,6 +464,35 @@ def main():
                 f.write(f"{k}\t{v}\n")
         print(f"{name}: done")
     golden_runt1k()
+    golden_db()
+
+
+def golden_db():
+    """Database-builder goldens from the reference ParseDatFile.pl
+    (requires the reference source checkout at T1K_REFERENCE_SRC)."""
+    ref_src = os.environ.get("T1K_REFERENCE_SRC", "/tmp/t1k-ref-src")
+    script = os.path.join(ref_src, "ParseDatFile.pl")
+    if not os.path.exists(script):
+        print("golden_db: ParseDatFile.pl unavailable, skipped")
+        return
+    jobs = [
+        ("synth.dat", "synth_rna.fa", ["--mode", "rna"]),
+        ("synth.dat", "synth_dna.fa", ["--mode", "dna"]),
+        ("synth.dat", "synth_genome.fa", ["--mode", "genome"]),
+        ("synth_pad.dat", "synth_pad_rna.fa", ["--mode", "rna"]),
+        ("synth_pad.dat", "synth_pad_dna.fa", ["--mode", "dna"]),
+        ("synth_exonized.dat", "synth_exonized_dna.fa",
+         ["--mode", "dna", "--intronPadding", "30"]),
+    ]
+    for dat, golden, args in jobs:
+        if not os.path.exists(os.path.join(GOLDEN, golden)):
+            continue  # only refresh goldens the suite uses
+        r = subprocess.run(
+            ["perl", script, os.path.join(DATA, dat)] + args,
+            capture_output=True, text=True, check=True)
+        with open(os.path.join(GOLDEN, golden), "w") as f:
+            f.write(r.stdout)
+        print(f"golden_db: {golden} done")
 
 
 if __name__ == "__main__":
