@@ -50,14 +50,15 @@ def make_panel(rng, path, dna):
     """Genes diverge by 1-5%, alleles within a gene by 0.1-1%.  DNA mode
     builds exon blocks with intron padding and single-N separators and
     real exon coords; RNA mode uses a 50bp UTR + one or more exons."""
-    n_genes = rng.randint(1, 3)
+    big = bool(os.environ.get("T1K_FUZZ_BIG"))
+    n_genes = rng.randint(3, 6) if big else rng.randint(1, 3)
     gene_div = rng.uniform(0.01, 0.05)
     records = []
     base = _rand_seq(rng, rng.randint(500, 1200))
     for g in range(n_genes):
         gname = f"FZG{chr(65 + g)}"
         gene_seq = _mutate(rng, base, gene_div)
-        n_alleles = rng.randint(2, 12)
+        n_alleles = rng.randint(6, 30) if big else rng.randint(2, 12)
         if dna:
             # exon layout over the gene sequence
             n_ex = rng.randint(2, 4)
@@ -117,7 +118,9 @@ def run_case(seed):
         for r in rng.sample(by_gene[g], min(len(by_gene[g]), rng.randint(1, 2))):
             chosen.append(SeqRecord(r[0], r[1], None, r[2]))
             abund.append(rng.uniform(0.4, 1.0))
-    cfg = SimConfig(n_pairs=rng.randint(40, 300), seed=seed,
+    n_pairs = (rng.randint(300, 900) if os.environ.get("T1K_FUZZ_BIG")
+               else rng.randint(40, 300))
+    cfg = SimConfig(n_pairs=n_pairs, seed=seed,
                     read_len=rng.choice([75, 100]),
                     error_rate=rng.choice([0.0, 0.005, 0.02]))
     r1, r2 = simulate_pairs(chosen, abund, cfg)
