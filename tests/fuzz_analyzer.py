@@ -59,10 +59,15 @@ def run_case(seed):
         for r in rng.sample(by_gene[g], min(len(by_gene[g]), rng.randint(1, 2))):
             seq = r[1]
             if rng.random() < 0.7:  # novel-variant carrier
-                seq = _inject_snps(rng, seq, r[2], rng.randint(1, 3))
+                n_snps = (rng.randint(4, 10)
+                          if os.environ.get("T1K_FUZZ_BIG")
+                          else rng.randint(1, 3))
+                seq = _inject_snps(rng, seq, r[2], n_snps)
             chosen.append(SeqRecord(r[0], seq, None, r[2]))
             abund.append(rng.uniform(0.4, 1.0))
-    cfg = SimConfig(n_pairs=rng.randint(150, 500), seed=seed,
+    n_pairs = (rng.randint(500, 1200) if os.environ.get("T1K_FUZZ_BIG")
+               else rng.randint(150, 500))
+    cfg = SimConfig(n_pairs=n_pairs, seed=seed,
                     read_len=rng.choice([75, 100]),
                     error_rate=rng.choice([0.0, 0.005]))
     r1, r2 = simulate_pairs(chosen, abund, cfg)
