@@ -169,6 +169,29 @@ def run_case(seed):
         if open(refp + suf).read() != open(minep + suf).read():
             print(f"seed {seed}: DIFF {suf} (dna={dna} args={args})")
             ok = False
+
+    # -a EM-bypass parity: re-run both with a synthesized kallisto-style
+    # abundance file (Genotyper.hpp:1016-1051 skips quantification)
+    if ok and rng.random() < 0.25:
+        ab = f"{OUT}/abund_{seed}.tsv"
+        arng = random.Random(seed ^ 0xAB)
+        with open(ab, "w") as f:
+            f.write("target_id\tlength\teff_length\test_counts\ttpm\n")
+            for name, _, _ in records:
+                if arng.random() < 0.8:
+                    f.write(f"{name}\t1000\t900\t"
+                            f"{arng.uniform(0, 80):.4f}\t0\n")
+        r = subprocess.run(cmd + inp + ["-a", ab], capture_output=True)
+        if r.returncode == 0:
+            rc = gmain(["-f", panel, "-o", minep, "--outputReadAssignment",
+                        "-a", ab] + args + inp + extra)
+            if rc != 0:
+                print(f"seed {seed}: -a rc={rc}")
+                ok = False
+            for suf in ("_genotype.tsv", "_allele.tsv"):
+                if open(refp + suf).read() != open(minep + suf).read():
+                    print(f"seed {seed}: DIFF -a {suf} (dna={dna})")
+                    ok = False
     for suf in ("_assign.tsv",):
         a = sorted(open(refp + suf).readlines())
         b = sorted(open(minep + suf).readlines())
