@@ -31,3 +31,4 @@ fuzz-smoke:
 	$(PY) tests/fuzz_smartseq.py 300 2
 	$(PY) tests/fuzz_tools.py 600 3
 	$(PY) tests/fuzz_db.py 2000 3
+	$(PY) tests/fuzz_vcfdb.py 100 3
