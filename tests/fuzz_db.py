@@ -154,7 +154,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_mine(dat, args):
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "t1k_tpu.db.parse_dat", dat] + args,
         capture_output=True, text=True, env=env)

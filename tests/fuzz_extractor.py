@@ -151,10 +151,23 @@ def run_case(seed):
         shutil.rmtree(case, ignore_errors=True)
         return "refcrash"
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # ours-only flags, e.g. T1K_FUZZ_EXTRA_ARGS="--backend tpu" runs the
+    # device k-mer prefilter (conservative, no false negatives) in front
+    # of the exact native re-screen — output must stay byte-identical
+    ours_extra = os.environ.get("T1K_FUZZ_EXTRA_ARGS", "").split()
+    if os.environ.get("T1K_FUZZ_JAX_CPU"):
+        # run the jnp prefilter on CPU jax (identical math, no TPU
+        # tunnel compile per subprocess): drop the site dir that forces
+        # the axon platform and pin cpu
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env["PYTHONPATH"].split(os.pathsep)
+            if p and "axon_site" not in p)
+        env["JAX_PLATFORMS"] = "cpu"
     m = subprocess.run(
         [sys.executable, "-m", "t1k_tpu.cli.extract", "-f", panel,
-         "-o", f"{case}/mine"] + io_args + extra,
+         "-o", f"{case}/mine"] + io_args + extra + ours_extra,
         capture_output=True, env=env)
     if m.returncode != 0:
         print(f"seed {seed}: our rc={m.returncode} (mode={io_mode} "

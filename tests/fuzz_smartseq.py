@@ -30,6 +30,7 @@ from t1k_tpu.tools.simulate import SimConfig, simulate_pairs  # noqa: E402
 from tests.fuzz_genotyper import make_panel  # noqa: E402
 
 REF_DIR = os.environ.get("T1K_REFERENCE_BIN", "/tmp/t1k-ref")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = "/tmp/smartseqfuzz"
 
 
@@ -102,8 +103,8 @@ def run_case(seed):
             "-f", panel, "-1", list1]
            + (["-2", list2] if paired else []) + args)
     r = subprocess.run(cmd, capture_output=True, cwd=refdir)
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if r.returncode != 0:
         # the reference dies on empty merges ("No qualified allele
         # found", t1k-smartseq.pl:138); ours must also fail there

@@ -82,7 +82,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _mine(module, args):
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", module] + args,
         capture_output=True, text=True, env=env,

@@ -105,7 +105,8 @@ def run_case(seed):
     shutil.rmtree(case, ignore_errors=True)
     os.makedirs(case)
     genome, gtf, vlist, genes = _gen_case(rng, case)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     failures = []
 
     # ---- CombineVcf + CombinedVcfToDat chain ----
