@@ -237,9 +237,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---------------------------------------------------------- stage 2
     if args.stage <= 2 and not args.skipPostAnalysis:
         from ..core.analyzer import AnalyzerOptions, run_analyzer
+        # the reference driver routes an EXPLICIT --relaxIntronAlign only
+        # to the genotyper (run-t1k:236-239); the analyzer receives it
+        # solely through the kir-wgs/kir-wes presets (run-t1k:302-308)
+        relax_analyzer = args.preset in ("kir-wgs", "kir-wes")
         aopts = AnalyzerOptions(
             ref_seq_similarity=geno_sim,
-            relax_intron_align=relax,
+            relax_intron_align=relax_analyzer,
             digit_units=args.alleleDigitUnits,
             delimiter=args.alleleDelimiter,
             barcode_file=f"{prefix}_aligned_bc.fa" if args.barcode else None,
