@@ -72,6 +72,98 @@ def compare_dirs(refdir, minedir, tag):
     return ok
 
 
+def _run_bam_case(seed, rng, case, panel, records, r1, r2, args):
+    """Full -b chain: coordinate-sorted BAM -> bam-extractor ->
+    genotyper -> analyzer through both drivers (run-t1k:350)."""
+    from t1k_tpu.constants import revcomp_str
+    from t1k_tpu.io.bam import BamRecord, BamWriter
+
+    gene_start = rng.randint(5000, 20000)
+    gene_end = gene_start + rng.randint(800, 2500)
+    coord = f"{case}/coord.fa"
+    with open(coord, "w") as f:
+        for name, seq, _ in records:
+            f.write(f">{name} chr22 {gene_start} {gene_end} +\n{seq}\n")
+
+    paired = rng.random() < 0.7
+    bam = f"{case}/in.bam"
+    w = BamWriter(bam, ["chr22"], [10_000_000],
+                  "@HD\tVN:1.6\tSO:coordinate\n")
+    M = 0
+    aligned = []
+    unmapped = []
+    for i, (a, b) in enumerate(zip(r1, r2)):
+        kind = rng.random()
+        if kind < 0.5:
+            # candidate: unaligned template (mates adjacent)
+            f1 = 0x1 | 0x4 | 0x8 | 0x40
+            f2 = 0x1 | 0x4 | 0x8 | 0x80
+            if not paired:
+                unmapped.append(BamRecord(a.id, 0x4, -1, -1, 0, [], -1, -1,
+                                          0, a.seq, a.qual, {}))
+            else:
+                unmapped.append(BamRecord(a.id, f1, -1, -1, 0, [], -1, -1,
+                                          0, a.seq, a.qual, {}))
+                unmapped.append(BamRecord(a.id, f2, -1, -1, 0, [], -1, -1,
+                                          0, b.seq, b.qual, {}))
+        else:
+            # aligned read in or out of the gene interval
+            inside = rng.random() < 0.5
+            p1 = (rng.randint(gene_start - 30, gene_end - 10) if inside
+                  else rng.randint(100000, 9_000_000))
+            flag = 0x0 if not paired else (0x1 | 0x2 | 0x20 | 0x40)
+            aligned.append(BamRecord(
+                a.id, flag, 0, p1, 60, [(len(a.seq), M)], 0,
+                p1 + 200, 200 + len(b.seq), a.seq, a.qual, {}))
+            if paired:
+                aligned.append(BamRecord(
+                    a.id, 0x1 | 0x2 | 0x10 | 0x80, 0, p1 + 200, 60,
+                    [(len(b.seq), M)], 0, p1,
+                    -(200 + len(b.seq)), revcomp_str(b.seq),
+                    (b.qual or "")[::-1], {}))
+    aligned.sort(key=lambda r: r.pos)
+    for r in aligned:
+        w.write(r)
+    for r in unmapped:
+        w.write(r)
+    w.close()
+
+    if rng.random() < 0.5:
+        args = args + ["-s", rng.choice(["0.8", "0.9"])]
+    if rng.random() < 0.3:
+        args = args + ["--skipPostAnalysis"]
+
+    refdir, minedir = f"{case}/ref", f"{case}/mine"
+    os.makedirs(refdir)
+    os.makedirs(minedir)
+    cmd = (["perl", os.path.join(REF_DIR, "run-t1k"), "-f", panel,
+            "-c", coord, "-b", bam, "-o", "fz", "--od", refdir] + args)
+    r = subprocess.run(cmd, capture_output=True)
+    from t1k_tpu.cli.run import main as rmain
+    if r.returncode != 0:
+        try:
+            rc = rmain(["-f", panel, "-c", coord, "-b", bam, "-o", "fz",
+                        "--od", minedir] + args)
+        except Exception:
+            rc = 1
+        if rc == 0:
+            print(f"seed {seed}: reference -b driver died but ours "
+                  f"succeeded (args={args})")
+            return "fail"
+        shutil.rmtree(case, ignore_errors=True)
+        return "refcrash"
+    rc = rmain(["-f", panel, "-c", coord, "-b", bam, "-o", "fz",
+                "--od", minedir] + args)
+    if rc != 0:
+        print(f"seed {seed}: our -b rc={rc} (args={args})")
+        return "fail"
+    ok = compare_dirs(refdir, minedir,
+                      f"seed {seed} bam (paired={paired} args={args})")
+    if ok:
+        shutil.rmtree(case, ignore_errors=True)
+    return "ok" if ok else "fail"
+
+
 def run_case(seed):
     rng = random.Random(seed)
     os.makedirs(OUT, exist_ok=True)
@@ -97,8 +189,10 @@ def run_case(seed):
                     error_rate=rng.choice([0.0, 0.005, 0.02]))
     r1, r2 = simulate_pairs(chosen, abund, cfg)
 
-    io_mode = rng.choices(["paired", "single", "interleaved"],
-                          weights=[0.55, 0.25, 0.2])[0]
+    io_mode = rng.choices(["paired", "single", "interleaved", "bam"],
+                          weights=[0.45, 0.22, 0.18, 0.15])[0]
+    if io_mode == "bam":
+        return _run_bam_case(seed, rng, case, panel, records, r1, r2, args=[])
     # input files named with dots to exercise prefix inference
     p1 = f"{case}/reads.x_1.fq"
     p2 = f"{case}/reads.x_2.fq"
