@@ -11,6 +11,11 @@ test:
 native:
 	$(MAKE) -C t1k_tpu/native
 
+# AddressSanitizer build of the native engine + smoke run of the engine
+# tests against it (reference analog: Makefile:18-22 `asan=1`).
+asan:
+	$(MAKE) -C t1k_tpu/native asan-check
+
 bench:
 	$(PY) bench.py
 

@@ -15,7 +15,11 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libt1k_native.so")
+# T1K_NATIVE_SO overrides the library path (used by `make asan-check` to
+# run the test suite against the AddressSanitizer build).
+_SO = os.environ.get("T1K_NATIVE_SO") or os.path.join(_DIR, "libt1k_native.so")
+if not os.path.isabs(_SO):
+    _SO = os.path.join(_DIR, "..", "..", _SO)
 
 _c_i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
 _c_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
@@ -25,6 +29,10 @@ _c_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
 def _build_if_needed() -> None:
+    if os.environ.get("T1K_NATIVE_SO"):
+        if not os.path.exists(_SO):
+            raise RuntimeError(f"T1K_NATIVE_SO={_SO} does not exist")
+        return
     srcs = [os.path.join(_DIR, f)
             for f in ("engine.cc", "em.cc", "bamscan.cc")]
     if os.path.exists(_SO) and all(
