@@ -1531,7 +1531,12 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
 // end-to-end output is byte-identical to the inline path.
 
 constexpr int kDeferMaxDiff = 10;   // window-fit guarantee: 5+10+|ML|<=30<32
-constexpr int kDeferMaxLen = 192;   // device item length cap
+// Device item length cap: the Pallas stats kernel packs the three
+// traceback counters into 9-bit fields of one int32, and no field can
+// exceed tLen+pLen+2 ops — 254+254+2 = 510 < 512 is the true boundary
+// (tests/test_defer_caps.py pins both sides).  254 keeps 250-300bp
+// reads' gap/extension windows on device.
+constexpr int kDeferMaxLen = 254;
 
 struct DeferItem {
   int32_t readIdx;

@@ -370,7 +370,10 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
     Wd = w if w is not None else band_window(
         ML, int((t_lens - p_lens).max(initial=0)))
     assert Wd >= band_window(ML, int((t_lens - p_lens).max(initial=0)))
-    assert Lt + Lp + 2 < 512, "packed count fields overflow beyond 511 ops"
+    # A counter field can reach t_len+p_len+2 ops for its pair; the 9-bit
+    # packing overflows at 512 (tests/test_defer_caps.py pins both sides).
+    max_ops = int((t_lens + p_lens).max(initial=0)) + 2
+    assert max_ops < 512, "packed count fields overflow beyond 511 ops"
 
     P = G * LANES
     lead = ML + 1
@@ -388,7 +391,7 @@ def banded_stats_band(t_codes, t_lens, p_codes, p_lens, G: int = 8,
 
 # Length buckets for the deferred-DP stats service: padding item batches
 # to a small set of static shapes keeps XLA recompiles bounded.
-_LEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192)
+_LEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
 # Length-difference buckets: ML (and with it the window width) adapts
 # to the batch's actual diffs instead of assuming the engine's maximum
 # (kDeferMaxDiff=10, engine.cc) — most gap-fill items have tiny diffs,
