@@ -22,3 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs real TPU hardware (auto-skips elsewhere)")
