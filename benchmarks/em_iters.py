@@ -126,10 +126,12 @@ def bench_device_dense(seg_rg, seg_ec, counts, ec_len, init, rounds=200,
     rg_cnt = int(seg_rg[-1]) + 1
     ec_cnt = len(ec_len)
     dtype = jnp.float32
-    from t1k_tpu.ops.em import _build_incidence
-    # built on device: only the nnz index lists cross the host link
+    from t1k_tpu.ops.em import _build_incidence, _mv, _vm
+    # built on device (int8: the matvecs are HBM-bound streaming of A,
+    # so byte-wide storage is a 4x bandwidth win — ops/em.py); only the
+    # nnz index lists cross the host link
     A = _build_incidence(jnp.asarray(seg_rg), jnp.asarray(seg_ec),
-                         rg_cnt, ec_cnt, dtype)
+                         rg_cnt, ec_cnt)
     cts_rg = np.zeros(rg_cnt, np.float32)
     np.maximum.at(cts_rg, seg_rg, counts.astype(np.float32))
 
@@ -141,9 +143,9 @@ def bench_device_dense(seg_rg, seg_ec, counts, ec_len, init, rounds=200,
         elen = jnp.asarray(ec_len, dtype)
 
         def em_update(x):
-            psum = Ad @ x
+            psum = _mv(Ad, x, dtype)
             psum = jnp.where(psum == 0, 1, psum)
-            count = x * ((cts / psum) @ Ad)
+            count = x * _vm(cts / psum, Ad, dtype)
             per_len = count / elen
             return per_len / per_len.sum()
 

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=[])
     ap.add_argument("--relaxIntronAlign", action="store_true")
     ap.add_argument("--varMaxGroup", type=int, default=8)
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "native", "tpu"],
+                    help="alignment backend; auto = tpu when an "
+                         "accelerator is present (byte-identical)")
     return ap
 
 
@@ -62,6 +66,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         barcode_file=args.barcode or None,
         var_max_group=args.varMaxGroup,
         threads=args.threads,
+        backend=args.backend,
     )
     reads1 = args.single or args.first
     reads2 = args.second or None

@@ -39,8 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=[])
     ap.add_argument("--relaxIntronAlign", action="store_true")
     ap.add_argument("--outputReadAssignment", action="store_true")
-    ap.add_argument("--backend", default="native",
-                    choices=["native", "tpu"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "native", "tpu"],
+                    help="alignment backend; auto = tpu when an "
+                         "accelerator is present, else native "
+                         "(byte-identical either way)")
     ap.add_argument("--emBackend", dest="emBackend", default="native",
                     choices=["native", "jax"],
                     help="EM implementation: native f64 (byte-exact) or "

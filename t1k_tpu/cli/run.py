@@ -73,8 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--outputReadAssignment", action="store_true")
     ap.add_argument("--stage", type=int, default=0)
     ap.add_argument("--post-varMaxGroup", dest="varMaxGroup", type=int, default=8)
-    ap.add_argument("--backend", default="native", choices=["native", "tpu"],
-                    help="alignment/EM compute backend")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "native", "tpu"],
+                    help="alignment compute backend; auto = tpu when an "
+                         "accelerator is present (byte-identical)")
     return ap
 
 

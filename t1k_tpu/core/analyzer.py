@@ -33,7 +33,7 @@ class AnalyzerOptions:
     barcode_file: Optional[str] = None
     var_max_group: int = 8
     threads: int = 1
-    backend: str = "native"
+    backend: str = "auto"
 
 
 class _AnalyzerOverlap:
@@ -164,8 +164,10 @@ def run_analyzer(
     log(f"Found {read_cnt} read fragments. Start read assignment.")
     all_seqs = seqs1 + seqs2
     with stage("analyzer_read_assignment", read_count=read_cnt) as st:
-        uniq, group_of, rec, off = assign_unique_reads(engine, all_seqs,
-                                                       zero_weights=True)
+        from .pipeline import resolve_backend
+        uniq, group_of, rec, off = assign_unique_reads(
+            engine, all_seqs, zero_weights=True,
+            dp_backend=resolve_backend(opts.backend))
         overlap_lists = overlap_lists_from_records(rec, off)
         st["unique_read_count"] = len(uniq)
     log("Finish read end assignments.")

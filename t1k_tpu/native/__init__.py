@@ -100,7 +100,10 @@ _lib.t1k_defer_set_base.argtypes = [ct.c_void_p, ct.c_int64]
 _lib.t1k_defer_end_chunked.argtypes = [ct.c_void_p]
 _lib.t1k_defer_begin.restype = ct.c_int64
 _lib.t1k_defer_begin.argtypes = [
-    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
+    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64, ct.c_int64,
+]
+_lib.t1k_defer_fetch_desc.argtypes = [
+    ct.c_void_p, _c_i64p, _c_i32p, _c_i64p, _c_i32p,
 ]
 _lib.t1k_defer_dims.argtypes = [
     ct.c_void_p, ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
@@ -111,6 +114,7 @@ _lib.t1k_defer_fetch.argtypes = [
 ]
 _lib.t1k_defer_counts.restype = ct.c_int64
 _lib.t1k_defer_counts.argtypes = [ct.c_void_p, _c_i32p]
+_lib.t1k_defer_release.argtypes = [ct.c_void_p]
 _lib.t1k_defer_finish.restype = ct.c_int64
 _lib.t1k_defer_finish.argtypes = [ct.c_void_p, _c_i32p]
 _lib.t1k_em_quantify.restype = ct.c_int32
@@ -246,14 +250,23 @@ class NativeEngine:
         read_starts: np.ndarray,
         read_lens: np.ndarray,
         weights: np.ndarray,
-        stats_fn,
+        stats_fn=None,
         store_results: bool = True,
         chunk_size: int = 0,
+        desc_service=None,
     ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
         """assign_batch with the gap-fill / extension DP batched out to
-        `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
-        -> match counts [N] i32` (on TPU: the band-packed Pallas stats
-        kernel).  Output is byte-identical to assign_batch.
+        an external scorer.  Output is byte-identical to assign_batch.
+
+        Two scoring transports:
+        * `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
+          -> match [N] i32`: window BYTES cross the link (oracle/tests).
+        * `desc_service`: descriptor mode — the reference and the batch's
+          reads live device-resident; only (t_off, t_len, p_off, p_len)
+          index tuples cross per item.  The service must provide
+          `begin_batch(read_codes flat i8)` (called once per batch; also
+          receives the packed reference lazily via `set_ref`) and
+          `stats(t_off i64, t_len i32, p_off i64, p_len i32) -> match`.
 
         chunk_size > 0 processes reads in bounded chunks (each with its
         own device batches) while accumulating assignments engine-side;
@@ -264,6 +277,14 @@ class NativeEngine:
         read_lens = np.ascontiguousarray(read_lens, dtype=np.int32)
         weights = np.ascontiguousarray(weights, dtype=np.int32)
         n = len(read_lens)
+        total_len = int(read_codes.shape[0])
+        if desc_service is not None:
+            desc_service.set_ref(
+                np.ascontiguousarray(self._packed.seq_codes, dtype=np.int8))
+            desc_service.set_layout(read_starts, read_lens)
+            # the service pads the device tensor; its padded length is
+            # the rc-half base the engine must emit in descriptors
+            total_len = int(desc_service.begin_batch(read_codes))
 
         def run_items():
             ni = ct.c_int64()
@@ -274,6 +295,16 @@ class NativeEngine:
             ni = int(ni.value)
             if ni == 0:
                 return np.zeros(0, np.int32)
+            if desc_service is not None:
+                t_off = np.zeros(ni, np.int64)
+                t_len = np.zeros(ni, np.int32)
+                p_off = np.zeros(ni, np.int64)
+                p_len = np.zeros(ni, np.int32)
+                _lib.t1k_defer_fetch_desc(self._handle, t_off, t_len,
+                                          p_off, p_len)
+                return np.ascontiguousarray(
+                    desc_service.stats(t_off, t_len, p_off, p_len),
+                    dtype=np.int32)
             tcap, pcap = max(int(mt.value), 1), max(int(mp.value), 1)
             tc = np.zeros((ni, tcap), np.int8)
             pc = np.zeros((ni, pcap), np.int8)
@@ -293,7 +324,7 @@ class NativeEngine:
                 _lib.t1k_defer_set_base(self._handle, lo)
                 _lib.t1k_defer_begin(self._handle, read_codes,
                                      read_starts[lo:hi], read_lens[lo:hi],
-                                     weights[lo:hi], hi - lo)
+                                     weights[lo:hi], hi - lo, total_len)
                 gap_match = run_items()
                 _lib.t1k_defer_counts(self._handle, gap_match)
                 ext_match = run_items()
@@ -302,11 +333,12 @@ class NativeEngine:
             self.last_assign_count = total
             return None, None
         _lib.t1k_defer_begin(self._handle, read_codes, read_starts,
-                             read_lens, weights, n)
+                             read_lens, weights, n, total_len)
         gap_match = run_items()
         _lib.t1k_defer_counts(self._handle, gap_match)
         ext_match = run_items()
         total = _lib.t1k_defer_finish(self._handle, ext_match)
+        _lib.t1k_defer_release(self._handle)
         self.last_assign_count = int(total)
         if not store_results:
             return None, None

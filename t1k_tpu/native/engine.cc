@@ -1551,25 +1551,96 @@ struct DeferRead {
   const int8_t* read = nullptr;
   int len = 0;
   int32_t weight = 0;
+  int64_t flatOff = 0;  // offset of this read in the caller's flat array
   std::vector<int8_t> rc;
   std::vector<Overlap> overlaps;
   SeedSpans seeds;
-  // Per local item, every (overlap) consumption of it — identical
-  // windows across candidate alleles are emitted once and fanned back
-  // out on apply (duplicates kept: an overlap can consume a window
-  // twice along its seed walk).
-  std::vector<std::vector<int32_t>> gapConsumers;
+  // Flat consumption records (localItem, overlapIdx): identical windows
+  // across candidate alleles are emitted once and fanned back out on
+  // apply (duplicates kept: an overlap can consume a window twice along
+  // its seed walk).
+  std::vector<std::pair<int32_t, int32_t>> cons;
   std::vector<DeferItem> localItems;      // phase-local emission buffer
-  std::unordered_map<std::string, int32_t> keyToLocal;
   // Per sorted-overlap extension slots: global item idx, -1 = zero-length
   // window (match 0), -2 = inline fallback at finish.
   std::vector<std::array<int64_t, 2>> extSlots;
   int64_t itemBegin = 0;                  // global range of this read's items
+
+  // Reset for a new read while KEEPING vector capacity — chunked
+  // deferral reuses slots across chunks, and the per-read vectors are
+  // the allocation hot spot (millions of malloc/free otherwise).
+  void Reset() {
+    read = nullptr;
+    len = 0;
+    weight = 0;
+    flatOff = 0;
+    rc.clear();
+    overlaps.clear();
+    seeds.clear();
+    cons.clear();
+    localItems.clear();
+    extSlots.clear();
+    itemBegin = 0;
+  }
+};
+
+// Per-read window -> local-item dedup with the StatsMemo recipe
+// (open-addressing, pointer keys into the immutable packed reference,
+// generation-bumped clear) — the previous std::string-keyed map spent
+// more time in malloc/memcpy than the entire inline DP it replaced.
+struct DeferMemo {
+  struct Entry {
+    uint32_t gen = 0;
+    uint64_t h;
+    const int8_t* t;
+    int32_t tLen, pOff, pLen;
+    int32_t local;
+  };
+  std::vector<Entry> slots = std::vector<Entry>(1 << 12);
+  uint32_t gen = 0;
+
+  void Clear() { ++gen; }
+
+  // Returns the existing local item index or -1 after installing
+  // `local` for a fresh window.  `saturated` reports a full table (the
+  // caller emits uncached, i.e. duplicates — harmless).
+  int32_t GetOrInstall(const int8_t* t, int tLen, int pOff, int pLen,
+                       int32_t local, bool* fresh) {
+    uint64_t h = StatsMemo::Hash(t, tLen, pOff, pLen);
+    size_t mask = slots.size() - 1;
+    size_t i = h & mask;
+    size_t probes = 0;
+    for (;;) {
+      Entry& e = slots[i];
+      if (e.gen != gen) {
+        e.gen = gen;
+        e.h = h;
+        e.t = t;
+        e.tLen = tLen;
+        e.pOff = pOff;
+        e.pLen = pLen;
+        e.local = local;
+        *fresh = true;
+        return local;
+      }
+      if (e.h == h && e.tLen == tLen && e.pOff == pOff && e.pLen == pLen &&
+          (e.t == t || std::memcmp(e.t, t, tLen) == 0)) {
+        *fresh = false;
+        return e.local;
+      }
+      i = (i + 1) & mask;
+      if (++probes > slots.size() / 2) {
+        *fresh = true;  // table saturated: emit a duplicate item
+        return local;
+      }
+    }
+  }
 };
 
 struct DeferState {
   std::vector<DeferRead> reads;
   std::vector<DeferItem> items;
+  int64_t totalReadLen = 0;  // caller's flat read array length (rc base)
   int32_t maxTL = 0, maxPL = 0;
   int phase = 0;
 };
@@ -1583,10 +1654,14 @@ static bool DeferEligible(int tLen, int pLen) {
 // Phase A: seed/chain every read, record gap-fill items.
 static void DeferBegin(Engine& eng, const int8_t* readCodes,
                        const int64_t* readStarts, const int32_t* readLens,
-                       const int32_t* weights, int64_t nReads) {
+                       const int32_t* weights, int64_t nReads,
+                       int64_t totalReadLen) {
   DeferState& st = *eng.defer;
-  st.reads.assign(nReads, {});
+  if ((int64_t)st.reads.size() < nReads) st.reads.resize(nReads);
+  for (int64_t i = 0; i < nReads; ++i) st.reads[i].Reset();
+  if ((int64_t)st.reads.size() > nReads) st.reads.resize(nReads);
   st.items.clear();
+  st.totalReadLen = totalReadLen;
   st.maxTL = st.maxPL = 0;
   const int k = eng.index.k();
 
@@ -1594,6 +1669,7 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
   if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
   auto worker = [&](int tid) {
     AlignScratch scratch;
+    static thread_local DeferMemo memo;
     int64_t lo = nReads / nt * tid;
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
     for (int64_t i = lo; i < hi; ++i) {
@@ -1601,6 +1677,7 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
       dr.read = readCodes + readStarts[i];
       dr.len = readLens[i];
       dr.weight = weights[i];
+      dr.flatOff = readStarts[i];
       if (dr.len < k || eng.nSeqs == 0) continue;
       dr.rc.resize(dr.len);
       for (int j = 0; j < dr.len; ++j) {
@@ -1610,6 +1687,7 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
       static thread_local std::vector<Hit> hits;
       CollectHitsSorted(eng, dr.read, dr.len, dr.rc.data(), 0, &hits);
       BuildOverlaps(eng, hits, eng.hitLenRequired, &dr.overlaps, &dr.seeds);
+      memo.Clear();
       ScoreOverlapsCore(
           eng, dr.read, dr.rc.data(), dr.len, &dr.overlaps, &dr.seeds,
           [&](int ov, int seq, int tOff, int tLen, const int8_t* r, int pOff,
@@ -1619,14 +1697,11 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
               return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
                                             r + pOff, pLen, 5, &scratch)
                   .match;
-            std::string key(8 + tLen, '\0');
-            int32_t po = pOff, pl = pLen;
-            std::memcpy(&key[0], &po, 4);
-            std::memcpy(&key[4], &pl, 4);
-            std::memcpy(&key[8], eng.Seq(seq) + tOff, tLen);
-            auto ins = dr.keyToLocal.try_emplace(std::move(key),
-                                                 (int32_t)dr.localItems.size());
-            if (ins.second) {
+            bool fresh = false;
+            int32_t local = memo.GetOrInstall(
+                eng.Seq(seq) + tOff, tLen, pOff, pLen,
+                (int32_t)dr.localItems.size(), &fresh);
+            if (fresh) {
               DeferItem it;
               it.readIdx = (int32_t)i;
               it.tOff = eng.SeqStart(seq) + tOff;
@@ -1635,12 +1710,10 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
               it.pLen = pLen;
               it.useRc = r == dr.rc.data();
               dr.localItems.push_back(it);
-              dr.gapConsumers.emplace_back();
             }
-            dr.gapConsumers[ins.first->second].push_back(ov);
+            dr.cons.emplace_back(local, ov);
             return 0;
           });
-      dr.keyToLocal.clear();
     }
   };
   if (nt == 1) {
@@ -1672,12 +1745,12 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
   auto worker = [&](int tid) {
     int64_t lo = nReads / nt * tid;
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
+    static thread_local DeferMemo memo;
     for (int64_t i = lo; i < hi; ++i) {
       DeferRead& dr = st.reads[i];
-      for (size_t g = 0; g < dr.gapConsumers.size(); ++g)
-        for (int32_t ov : dr.gapConsumers[g])
-          dr.overlaps[ov].matchCnt += 2 * match[dr.itemBegin + g];
-      dr.gapConsumers.clear();
+      for (const auto& c : dr.cons)
+        dr.overlaps[c.second].matchCnt += 2 * match[dr.itemBegin + c.first];
+      dr.cons.clear();
       FinalizeOverlapSimilarity(eng, dr.read, dr.rc.data(), &dr.overlaps,
                                 &dr.seeds);
       dr.seeds.clear();
@@ -1685,6 +1758,7 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
       std::sort(dr.overlaps.begin(), dr.overlaps.end(), OverlapRankLess);
       dr.extSlots.assign(dr.overlaps.size(),
                          std::array<int64_t, 2>{{-1, -1}});
+      memo.Clear();
       for (int oi = 0; oi < (int)dr.overlaps.size(); ++oi) {
         const Overlap& o = dr.overlaps[oi];
         if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
@@ -1704,18 +1778,14 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
           it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
           it.pLen = sides[s];
           it.useRc = o.strand != 1;
-          std::string key(8 + it.tLen, '\0');
-          std::memcpy(&key[0], &it.pOff, 4);
-          std::memcpy(&key[4], &it.pLen, 4);
-          std::memcpy(&key[8], eng.codes + it.tOff, it.tLen);
-          auto ins = dr.keyToLocal.try_emplace(
-              std::move(key), (int32_t)dr.localItems.size());
-          if (ins.second) dr.localItems.push_back(it);
-          dr.extSlots[oi][s] = ins.first->second;
+          bool fresh = false;
+          int32_t local = memo.GetOrInstall(
+              eng.codes + it.tOff, it.tLen, it.pOff, it.pLen,
+              (int32_t)dr.localItems.size(), &fresh);
+          if (fresh) dr.localItems.push_back(it);
+          dr.extSlots[oi][s] = local;
         }
       }
-      dr.keyToLocal.clear();
-      dr.keyToLocal.rehash(0);
     }
   };
   if (nt == 1) {
@@ -1831,12 +1901,20 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
     for (int64_t c : shardCounts[t])
       eng.resultOffsets.push_back(eng.resultOffsets.back() + c);
   }
-  st.reads.clear();
-  st.reads.shrink_to_fit();
+  // Keep st.reads' vector capacities for the next chunk (the driver
+  // calls t1k_defer_release when the whole batch is done).
   st.items.clear();
   st.phase = 0;
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
                         : eng.resultOffsets.back();
+}
+
+static void DeferRelease(Engine& eng) {
+  if (!eng.defer) return;
+  eng.defer->reads.clear();
+  eng.defer->reads.shrink_to_fit();
+  eng.defer->items.clear();
+  eng.defer->items.shrink_to_fit();
 }
 
 // Candidate screen used by the extractor: best (strand, seq) hit bucket,
@@ -1941,17 +2019,31 @@ void t1k_defer_set_base(void* e, int64_t base) {
 }
 
 void t1k_defer_end_chunked(void* e) {
-  static_cast<t1k::Engine*>(e)->deferBase = -1;
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  eng.deferBase = -1;
+  t1k::DeferRelease(eng);
+}
+
+// Free the deferral working state (kept across chunks for capacity
+// reuse); the unchunked driver calls this after finish.
+void t1k_defer_release(void* e) {
+  t1k::DeferRelease(*static_cast<t1k::Engine*>(e));
 }
 
 // Phase A; returns the number of gap-fill DP items to score externally.
 // The read arrays must stay valid until t1k_defer_finish returns.
+// total_read_len is the caller's FULL flat read-codes array length (the
+// descriptor fetch addresses reverse-complement windows at
+// total_read_len + offset, matching a device-resident [fwd | rc]
+// doubled array).
 int64_t t1k_defer_begin(void* e, const int8_t* read_codes,
                         const int64_t* read_starts, const int32_t* read_lens,
-                        const int32_t* weights, int64_t n_reads) {
+                        const int32_t* weights, int64_t n_reads,
+                        int64_t total_read_len) {
   auto& eng = *static_cast<t1k::Engine*>(e);
   if (!eng.defer) eng.defer = new t1k::DeferState();
-  t1k::DeferBegin(eng, read_codes, read_starts, read_lens, weights, n_reads);
+  t1k::DeferBegin(eng, read_codes, read_starts, read_lens, weights, n_reads,
+                  total_read_len);
   return (int64_t)eng.defer->items.size();
 }
 
@@ -1978,6 +2070,27 @@ void t1k_defer_fetch(void* e, int8_t* t_out, int32_t* t_lens, int8_t* p_out,
     const int8_t* p = (it.useRc ? dr.rc.data() : dr.read) + it.pOff;
     std::memcpy(p_out + i * (size_t)p_cap, p, it.pLen);
     p_lens[i] = it.pLen;
+  }
+}
+
+// Descriptor fetch: instead of copying window bytes, emit per-item
+// (t_off, t_len, p_off, p_len) indices into device-RESIDENT sequence
+// tensors — t_off into the packed reference (uploaded once per engine),
+// p_off into a doubled [fwd | rc] flat read array (uploaded once per
+// batch; rc windows are contiguous ascending slices there).  ~20 bytes
+// cross the link per item instead of the two padded windows.
+void t1k_defer_fetch_desc(void* e, int64_t* t_off, int32_t* t_len,
+                          int64_t* p_off, int32_t* p_len) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  auto& st = *eng.defer;
+  for (size_t i = 0; i < st.items.size(); ++i) {
+    const t1k::DeferItem& it = st.items[i];
+    const t1k::DeferRead& dr = st.reads[it.readIdx];
+    t_off[i] = it.tOff;
+    t_len[i] = it.tLen;
+    p_off[i] = (it.useRc ? st.totalReadLen : (int64_t)0) + dr.flatOff +
+               it.pOff;
+    p_len[i] = it.pLen;
   }
 }
 

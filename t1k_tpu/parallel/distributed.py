@@ -58,7 +58,8 @@ def run_genotyper_distributed(
     go through the single-host driver)."""
     from ..constants import GENOTYPER_KMER_LENGTH
     from ..core.genotyper import Genotyper, GenotyperConfig
-    from ..core.pipeline import GenotypeOptions, assign_unique_reads, log
+    from ..core.pipeline import (GenotypeOptions, assign_unique_reads,
+                                 log, resolve_backend)
     from ..io.reads import read_seq_files
     from ..io.refset import RefSet
     from ..native import NativeEngine
@@ -101,7 +102,8 @@ def run_genotyper_distributed(
         s2 = seqs2[lo:hi] if has_mate else []
         all_seqs = s1 + s2
         _, group_of, _, _ = assign_unique_reads(
-            engine, all_seqs, dp_backend=opts.backend, store_results=False)
+            engine, all_seqs, dp_backend=resolve_backend(opts.backend),
+            store_results=False)
         n = hi - lo
         has_n = np.array(
             [("N" in a) or (has_mate and "N" in b)

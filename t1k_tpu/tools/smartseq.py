@@ -110,7 +110,14 @@ def run_smartseq(
     mesh=None,
 ) -> str:
     """Returns the path of the final merged genotype matrix."""
-    t1k_args = t1k_args or {}
+    t1k_args = dict(t1k_args or {})
+    # Resolve backend "auto" HERE, once, and ship the concrete choice to
+    # the cell workers: a spawned worker re-enters the interpreter where
+    # site init may force accelerator platform routing, and probing a
+    # remote device per worker is both redundant and hang-prone.
+    from ..core.pipeline import resolve_backend
+    t1k_args["--backend"] = resolve_backend(
+        t1k_args.get("--backend", "auto"))
     with open(read1_list) as f:
         files1 = [line.strip() for line in f if line.strip()]
     files2: List[Optional[str]] = [None] * len(files1)

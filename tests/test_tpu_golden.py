@@ -39,11 +39,14 @@ def _clean_env():
 
 
 def _tpu_present() -> bool:
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; d = jax.devices()[0].platform; "
-         "print('YES' if d not in ('cpu',) else 'NO')"],
-        capture_output=True, text=True, env=_clean_env(), timeout=120)
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices()[0].platform; "
+             "print('YES' if d not in ('cpu',) else 'NO')"],
+            capture_output=True, text=True, env=_clean_env(), timeout=120)
+    except subprocess.TimeoutExpired:
+        return False  # wedged/unreachable device counts as absent
     return probe.returncode == 0 and "YES" in probe.stdout
 
 
