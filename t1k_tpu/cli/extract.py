@@ -45,8 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--read1End", type=int, default=None)
     ap.add_argument("--read2Start", type=int, default=None)
     ap.add_argument("--read2End", type=int, default=None)
-    ap.add_argument("--backend", default="native",
-                    choices=["native", "tpu"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "native", "tpu"],
+                    help="screen backend; auto/tpu = device k-mer "
+                         "prefilter + exact native re-screen "
+                         "(byte-identical output either way)")
     return ap
 
 

@@ -44,10 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="alignment backend; auto = tpu when an "
                          "accelerator is present, else native "
                          "(byte-identical either way)")
-    ap.add_argument("--emBackend", dest="emBackend", default="native",
-                    choices=["native", "jax"],
-                    help="EM implementation: native f64 (byte-exact) or "
-                         "jitted device EM (multi-chip scale path)")
+    ap.add_argument("--emBackend", dest="emBackend", default="auto",
+                    choices=["auto", "native", "jax"],
+                    help="EM implementation: native f64 (byte-exact), "
+                         "jitted device EM (multi-chip scale path), or "
+                         "auto = device iff a TPU is present and the "
+                         "problem is past the size where it wins")
     ap.add_argument("--resumeEmState", dest="resumeEmState", default=None,
                     help="resume from a <prefix>_em_state.npz snapshot of "
                          "a preempted run: skip EM quantification and "

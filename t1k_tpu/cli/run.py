@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "native", "tpu"],
                     help="alignment compute backend; auto = tpu when an "
                          "accelerator is present (byte-identical)")
+    ap.add_argument("--emBackend", dest="emBackend", default="auto",
+                    choices=["auto", "native", "jax"],
+                    help="EM implementation: native f64 (byte-exact), "
+                         "device EM, or auto = device iff a TPU is "
+                         "present and the problem size favors it")
     return ap
 
 
@@ -233,6 +238,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             output_read_assignment=args.outputReadAssignment,
             threads=args.threads,
             backend=args.backend,
+            em_backend=args.emBackend,
         )
         run_genotyper(args.ref, files1, files2, prefix, gopts)
 

@@ -63,7 +63,7 @@ class ExtractorOptions:
     read1_end: int = -1
     read2_start: int = 0
     read2_end: int = -1
-    backend: str = "native"
+    backend: str = "auto"  # auto = device prefilter when a TPU is present
 
 
 def _slice(seq: Optional[str], start: int, end: int) -> Optional[str]:
@@ -146,7 +146,8 @@ def run_extractor(
     # false negatives); the native engine then re-screens survivors
     # exactly, keeping the output byte-identical.
     device_table = None
-    if opts.backend == "tpu":
+    from .pipeline import resolve_backend
+    if resolve_backend(opts.backend) == "tpu":
         from ..ops.kmer import DeviceKmerTable
         device_table = DeviceKmerTable.build(packed, kmer_length)
 

@@ -69,7 +69,11 @@ class GenotyperConfig:
     max_assign_cnt: int = 2000
     min_squarem_alpha: float = 0.0
     read_length: int = 0
-    em_backend: str = "native"  # "native" (exact f64) or "jax" (device)
+    # "native" (exact f64), "jax" (device), or "auto": the device EM
+    # when a TPU is present AND the problem is past the size where it
+    # clearly beats a host core (small problems stay on the bit-exact
+    # native path, which also keeps golden outputs byte-identical).
+    em_backend: str = "auto"
 
 
 class Genotyper:
@@ -444,7 +448,10 @@ class Genotyper:
         if ec_cnt == 0:
             return 0
         rg_off, rg_ecs, rg_counts = self._read_group_csr()
-        if self.cfg.em_backend == "jax":
+        backend = self.cfg.em_backend
+        if backend == "auto":
+            backend = self._resolve_em_backend(len(rg_counts), ec_cnt)
+        if backend == "jax":
             from ..ops.em import em_quantify_jax
             iters, ec_read_count = em_quantify_jax(
                 self.ec_to_alleles, (rg_off, rg_ecs), rg_counts,
@@ -465,6 +472,27 @@ class Genotyper:
         self._last_ec_read_count = ec_read_count
         self._set_allele_abundance(ec_read_count)
         return iters
+
+    @staticmethod
+    def _resolve_em_backend(rg_cnt: int, ec_cnt: int) -> str:
+        """"auto" EM routing: the int8-incidence device EM wins ~14x over
+        a host core at large shapes (benchmarks/em_iters.py: 129.7 vs 9.3
+        rounds/s at 4096 ECs x 200k read groups) but dispatch+transfer
+        lose at golden-scale problems where the native f64 loop finishes
+        in milliseconds — and the native path is the bit-exact oracle.
+        Routes to the device only when a TPU is present and the dense
+        incidence has >= 5e7 cells (where even f32-trajectory drift
+        cannot flip integer-rounded outputs faster than the 14x pays)."""
+        import os
+
+        env = os.environ.get("T1K_EM_BACKEND", "")
+        if env in ("native", "jax"):
+            return env
+        if rg_cnt * max(ec_cnt, 1) < 5e7:
+            return "native"
+        from .pipeline import resolve_backend
+
+        return "jax" if resolve_backend("auto") == "tpu" else "native"
 
     def set_em_result(self, iters: int, ec_read_count: np.ndarray) -> int:
         """Adopt externally computed EM sufficient statistics (the cohort

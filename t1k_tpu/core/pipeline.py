@@ -57,7 +57,7 @@ class GenotypeOptions:
     # byte-identical.
     backend: str = "auto"
     defer_chunk: int = 8192  # tpu backend: reads per deferred-DP cycle
-    em_backend: str = "native"
+    em_backend: str = "auto"
 
 
 def resolve_backend(backend: str) -> str:
@@ -83,7 +83,10 @@ def resolve_backend(backend: str) -> str:
     try:
         import jax
 
-        return "tpu" if jax.devices()[0].platform != "cpu" else "native"
+        # Only a real TPU runs the compiled Pallas kernels; other
+        # accelerators (e.g. CUDA jax) fail to lower them, so "auto"
+        # must not route there (ADVICE r2).
+        return "tpu" if jax.devices()[0].platform == "tpu" else "native"
     except Exception:
         return "native"
 

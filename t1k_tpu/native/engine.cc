@@ -467,6 +467,9 @@ struct EngineProfile {
       extMemoHits{0};
   // rdtsc sub-phase cycles inside the extension loop
   std::atomic<int64_t> cycGeom{0}, cycStats{0}, cycCombine{0};
+  // rdtsc sub-phase cycles inside BuildOverlaps
+  std::atomic<int64_t> cycMemoProbe{0}, cycReplay{0}, cycCluster{0},
+      cycRecord{0};
   static bool Enabled() {
     static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
     return on;
@@ -724,7 +727,9 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
       i = j;
       continue;
     }
-    if (EngineProfile::Enabled()) ++gProf.nGroups;
+    const bool bprof = EngineProfile::Enabled();
+    if (bprof) ++gProf.nGroups;
+    int64_t bt0 = bprof ? (int64_t)__builtin_ia32_rdtsc() : 0;
 
     // ---- group memo probe
     const int32_t base = hits[i].soff;
@@ -783,9 +788,15 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
         if (++probes > memo.slots.size() / 2) break;  // saturated: compute
       }
       if (replayed) {
+        if (bprof) gProf.cycReplay += (int64_t)__builtin_ia32_rdtsc() - bt0;
         i = j;
         continue;
       }
+    }
+    if (bprof) {
+      int64_t t = (int64_t)__builtin_ia32_rdtsc();
+      gProf.cycMemoProbe += t - bt0;
+      bt0 = t;
     }
     const size_t ovBefore = overlaps->size();
     diag.clear();
@@ -875,6 +886,11 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
       s = e;
     }
 
+    if (bprof) {
+      int64_t t = (int64_t)__builtin_ia32_rdtsc();
+      gProf.cycCluster += t - bt0;
+      bt0 = t;
+    }
     // ---- record the group's result (shift-relative) for replay
     if (fill != nullptr) {
       const int cnt = (int)(overlaps->size() - ovBefore);
@@ -893,6 +909,7 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
         }
       }
     }
+    if (bprof) gProf.cycRecord += (int64_t)__builtin_ia32_rdtsc() - bt0;
     i = j;
   }
 }
@@ -1685,9 +1702,16 @@ static void DeferBegin(Engine& eng, const int8_t* readCodes,
         dr.rc[j] = c < 4 ? 3 - c : 4;
       }
       static thread_local std::vector<Hit> hits;
-      CollectHitsSorted(eng, dr.read, dr.len, dr.rc.data(), 0, &hits);
-      BuildOverlaps(eng, hits, eng.hitLenRequired, &dr.overlaps, &dr.seeds);
+      {
+        ScopedNs t(&gProf.hits);
+        CollectHitsSorted(eng, dr.read, dr.len, dr.rc.data(), 0, &hits);
+      }
+      {
+        ScopedNs t(&gProf.chain);
+        BuildOverlaps(eng, hits, eng.hitLenRequired, &dr.overlaps, &dr.seeds);
+      }
       memo.Clear();
+      ScopedNs scoreT(&gProf.score);
       ScoreOverlapsCore(
           eng, dr.read, dr.rc.data(), dr.len, &dr.overlaps, &dr.seeds,
           [&](int ov, int seq, int tOff, int tLen, const int8_t* r, int pOff,
@@ -1755,7 +1779,10 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
                                 &dr.seeds);
       dr.seeds.clear();
       if (dr.overlaps.empty()) continue;
-      std::sort(dr.overlaps.begin(), dr.overlaps.end(), OverlapRankLess);
+      {
+        ScopedNs st_(&gProf.sortT);
+        std::sort(dr.overlaps.begin(), dr.overlaps.end(), OverlapRankLess);
+      }
       dr.extSlots.assign(dr.overlaps.size(),
                          std::array<int64_t, 2>{{-1, -1}});
       memo.Clear();
@@ -2022,6 +2049,32 @@ void t1k_defer_end_chunked(void* e) {
   auto& eng = *static_cast<t1k::Engine*>(e);
   eng.deferBase = -1;
   t1k::DeferRelease(eng);
+  if (t1k::EngineProfile::Enabled()) {
+    fprintf(stderr,
+            "[defer] hits=%.2fs chain=%.2fs score=%.2fs sort=%.2fs "
+            "ext=%.2fs fullspan=%.2fs\n",
+            t1k::gProf.hits.load() / 1e9, t1k::gProf.chain.load() / 1e9,
+            t1k::gProf.score.load() / 1e9, t1k::gProf.sortT.load() / 1e9,
+            t1k::gProf.extLoop.load() / 1e9,
+            t1k::gProf.fullSpan.load() / 1e9);
+    fprintf(stderr,
+            "[defer] nHits=%lld nGroups=%lld extIter=%lld fullspan=%lld "
+            "walkHit=%lld walkCompute=%lld scatterOps=%lld\n",
+            (long long)t1k::gProf.nHits.load(),
+            (long long)t1k::gProf.nGroups.load(),
+            (long long)t1k::gProf.nExtIter.load(),
+            (long long)t1k::gProf.nFullspan.load(),
+            (long long)t1k::gProf.walkHits.load(),
+            (long long)t1k::gProf.walkComputes.load(),
+            (long long)t1k::gProf.scatterOps.load());
+    fprintf(stderr,
+            "[defer] chainCyc probe=%.2fG replay=%.2fG cluster=%.2fG "
+            "record=%.2fG\n",
+            t1k::gProf.cycMemoProbe.load() / 1e9,
+            t1k::gProf.cycReplay.load() / 1e9,
+            t1k::gProf.cycCluster.load() / 1e9,
+            t1k::gProf.cycRecord.load() / 1e9);
+  }
 }
 
 // Free the deferral working state (kept across chunks for capacity
@@ -2198,6 +2251,13 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
             t1k::gProf.cycGeom.load() / 1e9,
             t1k::gProf.cycStats.load() / 1e9,
             t1k::gProf.cycCombine.load() / 1e9);
+    fprintf(stderr,
+            "[engine] chainCyc probe=%.2fG replay=%.2fG cluster=%.2fG "
+            "record=%.2fG\n",
+            t1k::gProf.cycMemoProbe.load() / 1e9,
+            t1k::gProf.cycReplay.load() / 1e9,
+            t1k::gProf.cycCluster.load() / 1e9,
+            t1k::gProf.cycRecord.load() / 1e9);
   }
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
                         : eng.resultOffsets.back();

@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import functools
 
+from ..utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

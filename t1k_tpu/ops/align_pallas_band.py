@@ -23,6 +23,10 @@ from __future__ import annotations
 
 import functools
 
+from ..utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -541,7 +545,14 @@ class DeferredDescService:
         return p
 
     def set_ref(self, codes: np.ndarray) -> None:
-        key = (codes.ctypes.data, codes.shape[0])
+        # Content digest key: a buffer-address key can alias a freed
+        # temporary when the caller passes a fresh contiguous copy, and
+        # a service reused across engines could then score against a
+        # stale reference (ADVICE r2).
+        import hashlib
+
+        key = (hashlib.blake2b(codes.tobytes(), digest_size=16).digest(),
+               codes.shape[0])
         if self._ref_key == key:
             return
         p = self._pow2_pad(codes.shape[0] + 256)
@@ -558,6 +569,11 @@ class DeferredDescService:
         same starts/lens the engine saw (set via set_layout).  Returns
         the padded total the engine must use as its rc base."""
         total = int(read_codes.shape[0])
+        # rc-half offsets are int32 in the descriptor transport and the
+        # doubled tensor addresses 2*padded+256 positions (ADVICE r2)
+        assert total < 2**30, (
+            "deferred descriptor transport caps at 2^30 read bytes per "
+            "batch; chunk the reads")
         p = self._pow2_pad(total + 256)
         buf = np.zeros(p, np.int8)
         buf[:total] = read_codes
@@ -579,6 +595,8 @@ class DeferredDescService:
         starts = np.asarray(read_starts, np.int64)
         lens = np.asarray(read_lens, np.int64)
         total = int((starts[-1] + lens[-1]) if len(lens) else 0)
+        assert total < 2**30, (
+            "rev-index transport caps at 2^30 read bytes per batch")
         rep_start = np.repeat(starts, lens)
         rep_len = np.repeat(lens, lens)
         idx = np.arange(total, dtype=np.int64)

@@ -20,6 +20,10 @@ from __future__ import annotations
 import functools
 from typing import List, Optional, Tuple
 
+from ..utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

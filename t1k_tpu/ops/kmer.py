@@ -22,6 +22,10 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
+from ..utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

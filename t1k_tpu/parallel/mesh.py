@@ -15,6 +15,10 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+from ..utils import jaxcache as _jaxcache
+
+_jaxcache.enable()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
