@@ -98,25 +98,25 @@ _lib.t1k_engine_set_store_results.argtypes = [ct.c_void_p, ct.c_int32]
 _lib.t1k_defer_reserve.argtypes = [ct.c_void_p, ct.c_int64]
 _lib.t1k_defer_set_base.argtypes = [ct.c_void_p, ct.c_int64]
 _lib.t1k_defer_end_chunked.argtypes = [ct.c_void_p]
-_lib.t1k_defer_begin.restype = ct.c_int64
-_lib.t1k_defer_begin.argtypes = [
-    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64, ct.c_int64,
+_lib.t1k_defer2_begin.restype = ct.c_int64
+_lib.t1k_defer2_begin.argtypes = [
+    ct.c_void_p, ct.c_int32, _c_i8p, _c_i64p, _c_i32p, _c_i32p, ct.c_int64,
+    ct.c_int64,
 ]
-_lib.t1k_defer_fetch_desc.argtypes = [
-    ct.c_void_p, _c_i64p, _c_i32p, _c_i64p, _c_i32p,
+_lib.t1k_defer2_fetch_desc.argtypes = [
+    ct.c_void_p, ct.c_int32, _c_i64p, _c_i32p, _c_i64p, _c_i32p,
 ]
-_lib.t1k_defer_dims.argtypes = [
-    ct.c_void_p, ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+_lib.t1k_defer2_dims.argtypes = [
+    ct.c_void_p, ct.c_int32, ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
     ct.POINTER(ct.c_int32),
 ]
-_lib.t1k_defer_fetch.argtypes = [
-    ct.c_void_p, _c_i8p, _c_i32p, _c_i8p, _c_i32p, ct.c_int32, ct.c_int32,
+_lib.t1k_defer2_fetch.argtypes = [
+    ct.c_void_p, ct.c_int32, _c_i8p, _c_i32p, _c_i8p, _c_i32p, ct.c_int32,
+    ct.c_int32,
 ]
-_lib.t1k_defer_counts.restype = ct.c_int64
-_lib.t1k_defer_counts.argtypes = [ct.c_void_p, _c_i32p]
 _lib.t1k_defer_release.argtypes = [ct.c_void_p]
-_lib.t1k_defer_finish.restype = ct.c_int64
-_lib.t1k_defer_finish.argtypes = [ct.c_void_p, _c_i32p]
+_lib.t1k_defer2_finish.restype = ct.c_int64
+_lib.t1k_defer2_finish.argtypes = [ct.c_void_p, ct.c_int32, _c_i32p]
 _lib.t1k_em_quantify.restype = ct.c_int32
 _lib.t1k_em_quantify.argtypes = [
     ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
@@ -258,6 +258,13 @@ class NativeEngine:
         """assign_batch with the gap-fill / extension DP batched out to
         an external scorer.  Output is byte-identical to assign_batch.
 
+        One device round trip per chunk: the begin pass emits gap-fill
+        AND speculative extension items together (extension windows
+        depend only on the chain geometry), the finish pass replays the
+        exact state machine on the returned counts.  Chunks are
+        software-pipelined over the engine's two state slots: while the
+        device scores chunk i, the host runs chunk i+1's seed/chain.
+
         Two scoring transports:
         * `stats_fn(t_codes [N,Lt] i8, t_lens, p_codes [N,Lp] i8, p_lens)
           -> match [N] i32`: window BYTES cross the link (oracle/tests).
@@ -266,11 +273,12 @@ class NativeEngine:
           index tuples cross per item.  The service must provide
           `begin_batch(read_codes flat i8)` (called once per batch; also
           receives the packed reference lazily via `set_ref`) and
-          `stats(t_off i64, t_len i32, p_off i64, p_len i32) -> match`.
+          `stats(...)` / `stats_async(...) -> callable` scoring entry
+          points.
 
-        chunk_size > 0 processes reads in bounded chunks (each with its
-        own device batches) while accumulating assignments engine-side;
-        requires store_results=False.
+        chunk_size > 0 processes reads in bounded chunks while
+        accumulating assignments engine-side; requires
+        store_results=False.
         """
         read_codes = np.ascontiguousarray(read_codes, dtype=np.int8)
         read_starts = np.ascontiguousarray(read_starts, dtype=np.int64)
@@ -286,59 +294,66 @@ class NativeEngine:
             # the rc-half base the engine must emit in descriptors
             total_len = int(desc_service.begin_batch(read_codes))
 
-        def run_items():
+        def dispatch(slot):
+            """Fetch the slot's items and launch scoring; returns a
+            materializer for the match counts (device work proceeds
+            asynchronously until it is called)."""
             ni = ct.c_int64()
             mt = ct.c_int32()
             mp = ct.c_int32()
-            _lib.t1k_defer_dims(self._handle, ct.byref(ni), ct.byref(mt),
-                                ct.byref(mp))
+            _lib.t1k_defer2_dims(self._handle, slot, ct.byref(ni),
+                                 ct.byref(mt), ct.byref(mp))
             ni = int(ni.value)
             if ni == 0:
-                return np.zeros(0, np.int32)
+                zero = np.zeros(0, np.int32)
+                return lambda: zero
             if desc_service is not None:
                 t_off = np.zeros(ni, np.int64)
                 t_len = np.zeros(ni, np.int32)
                 p_off = np.zeros(ni, np.int64)
                 p_len = np.zeros(ni, np.int32)
-                _lib.t1k_defer_fetch_desc(self._handle, t_off, t_len,
-                                          p_off, p_len)
-                return np.ascontiguousarray(
-                    desc_service.stats(t_off, t_len, p_off, p_len),
-                    dtype=np.int32)
+                _lib.t1k_defer2_fetch_desc(self._handle, slot, t_off, t_len,
+                                           p_off, p_len)
+                if hasattr(desc_service, "stats_async"):
+                    fut = desc_service.stats_async(t_off, t_len, p_off, p_len)
+                else:
+                    res = desc_service.stats(t_off, t_len, p_off, p_len)
+                    fut = lambda: res  # noqa: E731
+                return lambda: np.ascontiguousarray(fut(), dtype=np.int32)
             tcap, pcap = max(int(mt.value), 1), max(int(mp.value), 1)
             tc = np.zeros((ni, tcap), np.int8)
             pc = np.zeros((ni, pcap), np.int8)
             tl = np.zeros(ni, np.int32)
             pl = np.zeros(ni, np.int32)
-            _lib.t1k_defer_fetch(self._handle, tc, tl, pc, pl, tcap, pcap)
-            return np.ascontiguousarray(stats_fn(tc, tl, pc, pl),
-                                        dtype=np.int32)
+            _lib.t1k_defer2_fetch(self._handle, slot, tc, tl, pc, pl, tcap,
+                                  pcap)
+            return lambda: np.ascontiguousarray(stats_fn(tc, tl, pc, pl),
+                                                dtype=np.int32)
 
         _lib.t1k_engine_set_store_results(self._handle, int(store_results))
-        if chunk_size and chunk_size < n:
+        chunk = chunk_size if (chunk_size and chunk_size < n) else max(n, 1)
+        if chunk < n:
             assert not store_results, "chunked deferral is engine-side only"
-            _lib.t1k_defer_reserve(self._handle, n)
-            total = 0
-            for lo in range(0, n, chunk_size):
-                hi = min(lo + chunk_size, n)
-                _lib.t1k_defer_set_base(self._handle, lo)
-                _lib.t1k_defer_begin(self._handle, read_codes,
-                                     read_starts[lo:hi], read_lens[lo:hi],
-                                     weights[lo:hi], hi - lo, total_len)
-                gap_match = run_items()
-                _lib.t1k_defer_counts(self._handle, gap_match)
-                ext_match = run_items()
-                total += int(_lib.t1k_defer_finish(self._handle, ext_match))
-            _lib.t1k_defer_end_chunked(self._handle)
-            self.last_assign_count = total
-            return None, None
-        _lib.t1k_defer_begin(self._handle, read_codes, read_starts,
-                             read_lens, weights, n, total_len)
-        gap_match = run_items()
-        _lib.t1k_defer_counts(self._handle, gap_match)
-        ext_match = run_items()
-        total = _lib.t1k_defer_finish(self._handle, ext_match)
-        _lib.t1k_defer_release(self._handle)
+        _lib.t1k_defer_reserve(self._handle, n)
+        bounds = ([(lo, min(lo + chunk, n)) for lo in range(0, n, chunk)]
+                  if n else [(0, 0)])
+        pending = []  # (slot, lo, materializer)
+        total = 0
+        slot = 0
+        for lo, hi in bounds:
+            _lib.t1k_defer2_begin(self._handle, slot, read_codes,
+                                  read_starts[lo:hi], read_lens[lo:hi],
+                                  weights[lo:hi], hi - lo, total_len)
+            pending.append((slot, lo, dispatch(slot)))
+            slot ^= 1
+            if len(pending) == 2:
+                s0, lo0, fut0 = pending.pop(0)
+                _lib.t1k_defer_set_base(self._handle, lo0)
+                total += int(_lib.t1k_defer2_finish(self._handle, s0, fut0()))
+        for s0, lo0, fut0 in pending:
+            _lib.t1k_defer_set_base(self._handle, lo0)
+            total += int(_lib.t1k_defer2_finish(self._handle, s0, fut0()))
+        _lib.t1k_defer_end_chunked(self._handle)
         self.last_assign_count = int(total)
         if not store_results:
             return None, None

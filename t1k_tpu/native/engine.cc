@@ -391,7 +391,9 @@ struct DeferState;
 struct Engine {
   int nThreads = 1;
   bool storeResults = true;  // stage per-read records for t1k_get_results
-  DeferState* defer = nullptr;  // active deferred-DP batch (owned)
+  // Deferred-DP chunk slots (owned); two so the driver can pipeline
+  // device scoring of one chunk against host begin-work on the next.
+  DeferState* defer2[2] = {nullptr, nullptr};
   // Chunked deferral: lastAssign pre-reserved for the full unique-read
   // set; each begin/counts/finish cycle fills [deferBase, base+n).
   int64_t deferBase = -1;
@@ -470,6 +472,10 @@ struct EngineProfile {
   // rdtsc sub-phase cycles inside BuildOverlaps
   std::atomic<int64_t> cycMemoProbe{0}, cycReplay{0}, cycCluster{0},
       cycRecord{0};
+  // rdtsc sub-phase cycles inside the deferred speculative-extension loop
+  std::atomic<int64_t> cycSpecSep{0}, cycSpecGeom{0}, cycSpecMemo{0},
+      cycSpecPush{0};
+  std::atomic<int64_t> nSpec{0};
   static bool Enabled() {
     static bool on = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
     return on;
@@ -987,13 +993,11 @@ static void ScoreOverlapsCore(Engine& eng, const int8_t* read,
   }
 }
 
-// Similarity from the final match counts + low-complexity knockout, then
-// the refSim filter (reference SeqSet.hpp:1893-1908).
-static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
-                                      const int8_t* rcRead,
-                                      std::vector<Overlap>* overlaps,
-                                      SeedSpans* overlapSeeds) {
-  int cnt = (int)overlaps->size();
+// Similarity from the final match counts + low-complexity knockout
+// (reference SeqSet.hpp:1893-1908): shared by the inline path and the
+// deferred-DP finish.
+static void ComputeOverlapSimilarity(const int8_t* read, const int8_t* rcRead,
+                                     Overlap* ov, int cnt) {
   if (cnt == 0) return;
   // Low-complexity filter on the aligned read span (reference
   // SeqSet.hpp:458-485: a span is low-complexity when >= 2 bases occur
@@ -1004,7 +1008,7 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
   static thread_local std::vector<int32_t> pfx[2];  // [strand][4*(len+1)]
   int built[2] = {0, 0};
   for (int i = 0; i < cnt; ++i) {
-    Overlap& o = (*overlaps)[i];
+    Overlap& o = ov[i];
     const int si = o.strand == 1 ? 1 : 0;
     const int8_t* r = si ? read : rcRead;
     if (!built[si]) {
@@ -1012,9 +1016,8 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
       // length of the read: spans never exceed it; build up to the max
       // readEnd across overlaps of this strand
       for (int t = i; t < cnt; ++t)
-        if (((*overlaps)[t].strand == 1 ? 1 : 0) == si &&
-            (*overlaps)[t].readEnd + 1 > len)
-          len = (*overlaps)[t].readEnd + 1;
+        if ((ov[t].strand == 1 ? 1 : 0) == si && ov[t].readEnd + 1 > len)
+          len = ov[t].readEnd + 1;
       std::vector<int32_t>& p = pfx[si];
       p.assign(4 * (len + 1), 0);
       for (int q = 0; q < len; ++q) {
@@ -1038,6 +1041,16 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
         !(lowTotal * 7 >= o.readEnd - o.readStart + 1) && lowCnt >= 2;
     if (lowComplexity) o.similarity = 0;
   }
+}
+
+// ...then the refSim filter, compacting the parallel seed spans.
+static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
+                                      const int8_t* rcRead,
+                                      std::vector<Overlap>* overlaps,
+                                      SeedSpans* overlapSeeds) {
+  int cnt = (int)overlaps->size();
+  if (cnt == 0) return;
+  ComputeOverlapSimilarity(read, rcRead, overlaps->data(), cnt);
   int w = 0;
   for (int i = 0; i < cnt; ++i) {
     if ((*overlaps)[i].similarity < eng.refSim) continue;
@@ -1047,6 +1060,25 @@ static void FinalizeOverlapSimilarity(Engine& eng, const int8_t* read,
   }
   overlaps->resize(w);
   overlapSeeds->span.resize(w);
+}
+
+// Arena variant for the deferred finish: filters in place, keeping the
+// parallel per-overlap extension-slot pairs aligned.  Returns the new
+// count.
+static int FinalizeOverlapSimilarityArr(Engine& eng, const int8_t* read,
+                                        const int8_t* rcRead, Overlap* ov,
+                                        int cnt, int32_t* slots2) {
+  if (cnt == 0) return 0;
+  ComputeOverlapSimilarity(read, rcRead, ov, cnt);
+  int w = 0;
+  for (int i = 0; i < cnt; ++i) {
+    if (ov[i].similarity < eng.refSim) continue;
+    ov[w] = ov[i];
+    slots2[2 * w] = slots2[2 * i];
+    slots2[2 * w + 1] = slots2[2 * i + 1];
+    ++w;
+  }
+  return w;
 }
 
 // Per-read memo for small stat DPs: across a read's candidate alleles
@@ -1533,19 +1565,34 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
 // The assignment pipeline with the small banded alignments (seed-gap
 // fill and overhang extension) batched out to an external scorer — on
 // TPU, the band-packed Pallas stats kernel (ops/align_pallas_band.py).
-// Three phases driven from Python:
-//   begin  — seed/chain per read; emit gap-fill DP items
-//   counts — fold gap match counts; similarity filter + sort; emit
-//            speculative extension items for every surviving overlap
-//            (the onlyConsiderClip walk may skip some — their results
-//            simply go unused)
-//   finish — replay the extension state machine on the batched counts,
-//            then the near-best full-span edit walks (host: they feed
-//            the per-base coverage scatter) and result staging.
+//
+// v2: ONE device round trip per chunk.  The overhang-extension windows
+// depend only on the chain geometry (ExtendGeometry is pure), not on
+// the gap-fill counts, so both item families are emitted together in
+// the begin pass — speculatively for every strand-filtered overlap (the
+// refSim filter and the sequential onlyConsiderClip walk may skip some;
+// their device results simply go unused).  The finish pass folds the
+// gap counts, finalizes similarity, sorts, replays the extension state
+// machine on the batched counts, and runs the near-best full-span edit
+// walks on the host (they feed the per-base coverage scatter).
+//
+// The v1 three-phase design kept per-read std::vector state (overlaps +
+// full seed arenas) alive across its two round trips; at HLA scale that
+// held ~1.6GB of cold per-read buffers per chunk and the group-memo
+// replay ran 5x slower than the inline path purely on memory behaviour.
+// v2 does all chain work in the same hot thread-local arenas as the
+// inline path and persists only flat per-chunk SoA arenas (compact
+// overlap records, gap-consumption pairs, extension slots), written and
+// read as streaming sweeps.
+//
 // Items whose shape can't ride the W=32 band window (|Δlen| > 10) or
 // exceed the device length cap are aligned inline — the external counts
 // are exact (the kernel is bit-exact vs BandedGlobalAlignStats), so the
 // end-to-end output is byte-identical to the inline path.
+//
+// Two chunk slots exist so the driver can software-pipeline: dispatch
+// chunk i's device batch asynchronously, run chunk i+1's begin on the
+// host while the device scores, then finish chunk i.
 
 constexpr int kDeferMaxDiff = 10;   // window-fit guarantee: 5+10+|ML|<=30<32
 // Device item length cap: the Pallas stats kernel packs the three
@@ -1564,47 +1611,10 @@ struct DeferItem {
   bool useRc;
 };
 
-struct DeferRead {
-  const int8_t* read = nullptr;
-  int len = 0;
-  int32_t weight = 0;
-  int64_t flatOff = 0;  // offset of this read in the caller's flat array
-  std::vector<int8_t> rc;
-  std::vector<Overlap> overlaps;
-  SeedSpans seeds;
-  // Flat consumption records (localItem, overlapIdx): identical windows
-  // across candidate alleles are emitted once and fanned back out on
-  // apply (duplicates kept: an overlap can consume a window twice along
-  // its seed walk).
-  std::vector<std::pair<int32_t, int32_t>> cons;
-  std::vector<DeferItem> localItems;      // phase-local emission buffer
-  // Per sorted-overlap extension slots: global item idx, -1 = zero-length
-  // window (match 0), -2 = inline fallback at finish.
-  std::vector<std::array<int64_t, 2>> extSlots;
-  int64_t itemBegin = 0;                  // global range of this read's items
-
-  // Reset for a new read while KEEPING vector capacity — chunked
-  // deferral reuses slots across chunks, and the per-read vectors are
-  // the allocation hot spot (millions of malloc/free otherwise).
-  void Reset() {
-    read = nullptr;
-    len = 0;
-    weight = 0;
-    flatOff = 0;
-    rc.clear();
-    overlaps.clear();
-    seeds.clear();
-    cons.clear();
-    localItems.clear();
-    extSlots.clear();
-    itemBegin = 0;
-  }
-};
-
 // Per-read window -> local-item dedup with the StatsMemo recipe
 // (open-addressing, pointer keys into the immutable packed reference,
-// generation-bumped clear) — the previous std::string-keyed map spent
-// more time in malloc/memcpy than the entire inline DP it replaced.
+// generation-bumped clear) — a std::string-keyed map spent more time in
+// malloc/memcpy than the entire inline DP it replaced.
 struct DeferMemo {
   struct Entry {
     uint32_t gen = 0;
@@ -1613,20 +1623,40 @@ struct DeferMemo {
     int32_t tLen, pOff, pLen;
     int32_t local;
   };
-  std::vector<Entry> slots = std::vector<Entry>(1 << 12);
+  std::vector<Entry> slots = std::vector<Entry>(1 << 13);
   uint32_t gen = 0;
+  size_t used = 0;  // current-generation installs
 
-  void Clear() { ++gen; }
+  void Clear() {
+    ++gen;
+    used = 0;
+  }
 
-  // Returns the existing local item index or -1 after installing
-  // `local` for a fresh window.  `saturated` reports a full table (the
-  // caller emits uncached, i.e. duplicates — harmless).
+  // Double the table when the load factor reaches 1/2: one pass emits
+  // gap AND extension windows, so a read with many candidate alleles
+  // holds thousands of distinct windows — a fixed-size table saturates
+  // and every probe degenerates to a half-table scan (measured: ~90s of
+  // the HLA-scale begin pass before this grew).
+  void Grow() {
+    std::vector<Entry> next(slots.size() * 2);
+    size_t mask = next.size() - 1;
+    for (const Entry& e : slots) {
+      if (e.gen != gen) continue;
+      size_t i = e.h & mask;
+      while (next[i].gen == gen) i = (i + 1) & mask;
+      next[i] = e;
+    }
+    slots.swap(next);
+  }
+
+  // Returns the existing local item index or installs `local` for a
+  // fresh window (`fresh` reports which).
   int32_t GetOrInstall(const int8_t* t, int tLen, int pOff, int pLen,
                        int32_t local, bool* fresh) {
+    if (used >= slots.size() / 2) Grow();
     uint64_t h = StatsMemo::Hash(t, tLen, pOff, pLen);
     size_t mask = slots.size() - 1;
     size_t i = h & mask;
-    size_t probes = 0;
     for (;;) {
       Entry& e = slots[i];
       if (e.gen != gen) {
@@ -1637,6 +1667,7 @@ struct DeferMemo {
         e.pOff = pOff;
         e.pLen = pLen;
         e.local = local;
+        ++used;
         *fresh = true;
         return local;
       }
@@ -1646,20 +1677,40 @@ struct DeferMemo {
         return e.local;
       }
       i = (i + 1) & mask;
-      if (++probes > slots.size() / 2) {
-        *fresh = true;  // table saturated: emit a duplicate item
-        return local;
-      }
     }
   }
 };
 
+// Flat per-chunk state: everything the finish pass needs, as SoA arenas
+// with per-read offset tables.  No seed data survives the begin pass.
 struct DeferState {
-  std::vector<DeferRead> reads;
+  struct ReadMeta {
+    const int8_t* read = nullptr;
+    int32_t len = 0;
+    int32_t weight = 0;
+    int64_t flatOff = 0;  // offset of this read in the caller's flat array
+  };
+  std::vector<ReadMeta> meta;                       // [n]
+  std::vector<int64_t> itemOff, ovOff, consOff;     // [n+1]
+  std::vector<Overlap> ov;                          // flat overlap arena
+  std::vector<int32_t> slots;                       // [2 * |ov|] ext slots
+  std::vector<std::pair<int32_t, int32_t>> cons;    // (localItem, ovIdx)
   std::vector<DeferItem> items;
   int64_t totalReadLen = 0;  // caller's flat read array length (rc base)
   int32_t maxTL = 0, maxPL = 0;
-  int phase = 0;
+
+  void Clear() {
+    meta.clear();
+    itemOff.clear();
+    ovOff.clear();
+    consOff.clear();
+    ov.clear();
+    slots.clear();
+    cons.clear();
+    items.clear();
+    totalReadLen = 0;
+    maxTL = maxPL = 0;
+  }
 };
 
 static bool DeferEligible(int tLen, int pLen) {
@@ -1668,151 +1719,148 @@ static bool DeferEligible(int tLen, int pLen) {
   return tLen <= kDeferMaxLen && pLen <= kDeferMaxLen;
 }
 
-// Phase A: seed/chain every read, record gap-fill items.
-static void DeferBegin(Engine& eng, const int8_t* readCodes,
-                       const int64_t* readStarts, const int32_t* readLens,
-                       const int32_t* weights, int64_t nReads,
-                       int64_t totalReadLen) {
-  DeferState& st = *eng.defer;
-  if ((int64_t)st.reads.size() < nReads) st.reads.resize(nReads);
-  for (int64_t i = 0; i < nReads; ++i) st.reads[i].Reset();
-  if ((int64_t)st.reads.size() > nReads) st.reads.resize(nReads);
-  st.items.clear();
+// Begin pass: seed/chain every read in the hot thread-local arenas,
+// emit gap-fill AND speculative extension items, persist the compact
+// per-read state.
+static void DeferBegin2(Engine& eng, const int8_t* readCodes,
+                        const int64_t* readStarts, const int32_t* readLens,
+                        const int32_t* weights, int64_t nReads,
+                        int64_t totalReadLen, DeferState& st) {
+  st.Clear();
   st.totalReadLen = totalReadLen;
-  st.maxTL = st.maxPL = 0;
-  const int k = eng.index.k();
+  st.meta.resize(nReads);
 
   int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
   if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
+
+  struct Local {
+    std::vector<Overlap> ov;
+    std::vector<int32_t> slots;
+    std::vector<std::pair<int32_t, int32_t>> cons;
+    std::vector<DeferItem> items;
+    std::vector<int32_t> ovCnt, consCnt, itemCnt;  // per read in range
+    int32_t maxTL = 0, maxPL = 0;
+  };
+  std::vector<Local> locals(nt);
+
   auto worker = [&](int tid) {
+    Local& L = locals[tid];
     AlignScratch scratch;
     static thread_local DeferMemo memo;
+    static thread_local std::vector<Hit> hits;
+    static thread_local std::vector<int8_t> rcBuf;
+    static thread_local std::vector<Overlap> overlaps;
+    static thread_local SeedSpans seeds;
+    const int k = eng.index.k();
     int64_t lo = nReads / nt * tid;
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
     for (int64_t i = lo; i < hi; ++i) {
-      DeferRead& dr = st.reads[i];
-      dr.read = readCodes + readStarts[i];
-      dr.len = readLens[i];
-      dr.weight = weights[i];
-      dr.flatOff = readStarts[i];
-      if (dr.len < k || eng.nSeqs == 0) continue;
-      dr.rc.resize(dr.len);
-      for (int j = 0; j < dr.len; ++j) {
-        int8_t c = dr.read[dr.len - 1 - j];
-        dr.rc[j] = c < 4 ? 3 - c : 4;
-      }
-      static thread_local std::vector<Hit> hits;
-      {
-        ScopedNs t(&gProf.hits);
-        CollectHitsSorted(eng, dr.read, dr.len, dr.rc.data(), 0, &hits);
-      }
-      {
-        ScopedNs t(&gProf.chain);
-        BuildOverlaps(eng, hits, eng.hitLenRequired, &dr.overlaps, &dr.seeds);
-      }
-      memo.Clear();
-      ScopedNs scoreT(&gProf.score);
-      ScoreOverlapsCore(
-          eng, dr.read, dr.rc.data(), dr.len, &dr.overlaps, &dr.seeds,
-          [&](int ov, int seq, int tOff, int tLen, const int8_t* r, int pOff,
-              int pLen) -> int {
-            if (tLen <= 0 || pLen <= 0) return 0;
-            if (!DeferEligible(tLen, pLen))
-              return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
-                                            r + pOff, pLen, 5, &scratch)
-                  .match;
-            bool fresh = false;
-            int32_t local = memo.GetOrInstall(
-                eng.Seq(seq) + tOff, tLen, pOff, pLen,
-                (int32_t)dr.localItems.size(), &fresh);
-            if (fresh) {
+      st.meta[i] = {readCodes + readStarts[i], readLens[i], weights[i],
+                    readStarts[i]};
+      const size_t ov0 = L.ov.size();
+      const size_t cons0 = L.cons.size();
+      const size_t item0 = L.items.size();
+      const int len = readLens[i];
+      const int8_t* read = st.meta[i].read;
+      if (len >= k && eng.nSeqs != 0) {
+        rcBuf.resize(len);
+        for (int j = 0; j < len; ++j) {
+          int8_t c = read[len - 1 - j];
+          rcBuf[j] = c < 4 ? 3 - c : 4;
+        }
+        overlaps.clear();
+        seeds.clear();
+        {
+          ScopedNs t(&gProf.hits);
+          CollectHitsSorted(eng, read, len, rcBuf.data(), 0, &hits);
+        }
+        {
+          ScopedNs t(&gProf.chain);
+          BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
+        }
+        memo.Clear();
+        {
+          ScopedNs t(&gProf.score);
+          ScoreOverlapsCore(
+              eng, read, rcBuf.data(), len, &overlaps, &seeds,
+              [&](int ov, int seq, int tOff, int tLen, const int8_t* r,
+                  int pOff, int pLen) -> int {
+                if (tLen <= 0 || pLen <= 0) return 0;
+                if (!DeferEligible(tLen, pLen))
+                  return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
+                                                r + pOff, pLen, 5, &scratch)
+                      .match;
+                bool fresh = false;
+                int32_t local = memo.GetOrInstall(
+                    eng.Seq(seq) + tOff, tLen, pOff, pLen,
+                    (int32_t)(L.items.size() - item0), &fresh);
+                if (fresh) {
+                  DeferItem it;
+                  it.readIdx = (int32_t)i;
+                  it.tOff = eng.SeqStart(seq) + tOff;
+                  it.tLen = tLen;
+                  it.pOff = pOff;
+                  it.pLen = pLen;
+                  it.useRc = r == rcBuf.data();
+                  L.items.push_back(it);
+                  L.maxTL = std::max(L.maxTL, it.tLen);
+                  L.maxPL = std::max(L.maxPL, it.pLen);
+                }
+                L.cons.emplace_back(local, ov);
+                return 0;
+              });
+        }
+        // Speculative extension windows for every surviving overlap.
+        ScopedNs extT(&gProf.extLoop);
+        const bool sp = EngineProfile::Enabled();
+        if (sp) gProf.nSpec += (int64_t)overlaps.size();
+        for (int oi = 0; oi < (int)overlaps.size(); ++oi) {
+          const Overlap& o = overlaps[oi];
+          int32_t sl[2] = {-1, -1};
+          int64_t q0 = sp ? (int64_t)__builtin_ia32_rdtsc() : 0;
+          bool sep = eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq);
+          int64_t q1 = sp ? (int64_t)__builtin_ia32_rdtsc() : 0;
+          if (sp) gProf.cycSpecSep += q1 - q0;
+          if (!sep) {
+            ExtGeom g = ExtendGeometry(eng, o, len);
+            int64_t q2 = sp ? (int64_t)__builtin_ia32_rdtsc() : 0;
+            if (sp) gProf.cycSpecGeom += q2 - q1;
+            const int sides[2] = {g.leftOver, g.rightOver};
+            for (int s = 0; s < 2; ++s) {
+              if (sides[s] <= 0) continue;
+              if (!DeferEligible(sides[s], sides[s])) {
+                sl[s] = -2;  // inline fallback at finish
+                continue;
+              }
               DeferItem it;
               it.readIdx = (int32_t)i;
-              it.tOff = eng.SeqStart(seq) + tOff;
-              it.tLen = tLen;
-              it.pOff = pOff;
-              it.pLen = pLen;
-              it.useRc = r == dr.rc.data();
-              dr.localItems.push_back(it);
+              it.tOff = eng.SeqStart(o.seq) +
+                        (s == 0 ? o.seqStart - g.leftOver : o.seqEnd + 1);
+              it.tLen = sides[s];
+              it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
+              it.pLen = sides[s];
+              it.useRc = o.strand != 1;
+              bool fresh = false;
+              int32_t local = memo.GetOrInstall(
+                  eng.codes + it.tOff, it.tLen, it.pOff, it.pLen,
+                  (int32_t)(L.items.size() - item0), &fresh);
+              if (fresh) {
+                L.items.push_back(it);
+                L.maxTL = std::max(L.maxTL, it.tLen);
+                L.maxPL = std::max(L.maxPL, it.pLen);
+              }
+              sl[s] = local;
             }
-            dr.cons.emplace_back(local, ov);
-            return 0;
-          });
-    }
-  };
-  if (nt == 1) {
-    worker(0);
-  } else {
-    std::vector<std::thread> threads;
-    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
-    for (auto& th : threads) th.join();
-  }
-
-  for (auto& dr : st.reads) {
-    dr.itemBegin = (int64_t)st.items.size();
-    for (const DeferItem& it : dr.localItems) {
-      st.maxTL = std::max(st.maxTL, it.tLen);
-      st.maxPL = std::max(st.maxPL, it.pLen);
-      st.items.push_back(it);
-    }
-    dr.localItems.clear();
-  }
-  st.phase = 1;
-}
-
-// Phase C: fold gap counts, finish similarity, sort, emit extension items.
-static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
-  DeferState& st = *eng.defer;
-  int64_t nReads = (int64_t)st.reads.size();
-  int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
-  if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
-  auto worker = [&](int tid) {
-    int64_t lo = nReads / nt * tid;
-    int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
-    static thread_local DeferMemo memo;
-    for (int64_t i = lo; i < hi; ++i) {
-      DeferRead& dr = st.reads[i];
-      for (const auto& c : dr.cons)
-        dr.overlaps[c.second].matchCnt += 2 * match[dr.itemBegin + c.first];
-      dr.cons.clear();
-      FinalizeOverlapSimilarity(eng, dr.read, dr.rc.data(), &dr.overlaps,
-                                &dr.seeds);
-      dr.seeds.clear();
-      if (dr.overlaps.empty()) continue;
-      {
-        ScopedNs st_(&gProf.sortT);
-        std::sort(dr.overlaps.begin(), dr.overlaps.end(), OverlapRankLess);
-      }
-      dr.extSlots.assign(dr.overlaps.size(),
-                         std::array<int64_t, 2>{{-1, -1}});
-      memo.Clear();
-      for (int oi = 0; oi < (int)dr.overlaps.size(); ++oi) {
-        const Overlap& o = dr.overlaps[oi];
-        if (eng.SeparatorInRange(o.seqStart, o.seqEnd, o.seq)) continue;
-        ExtGeom g = ExtendGeometry(eng, o, dr.len);
-        const int sides[2] = {g.leftOver, g.rightOver};
-        for (int s = 0; s < 2; ++s) {
-          if (sides[s] <= 0) continue;
-          if (!DeferEligible(sides[s], sides[s])) {
-            dr.extSlots[oi][s] = -2;
-            continue;
+            if (sp) gProf.cycSpecMemo += (int64_t)__builtin_ia32_rdtsc() - q2;
           }
-          DeferItem it;
-          it.readIdx = (int32_t)i;
-          it.tOff = eng.SeqStart(o.seq) +
-                    (s == 0 ? o.seqStart - g.leftOver : o.seqEnd + 1);
-          it.tLen = sides[s];
-          it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
-          it.pLen = sides[s];
-          it.useRc = o.strand != 1;
-          bool fresh = false;
-          int32_t local = memo.GetOrInstall(
-              eng.codes + it.tOff, it.tLen, it.pOff, it.pLen,
-              (int32_t)dr.localItems.size(), &fresh);
-          if (fresh) dr.localItems.push_back(it);
-          dr.extSlots[oi][s] = local;
+          L.slots.push_back(sl[0]);
+          L.slots.push_back(sl[1]);
         }
+        L.ov.insert(L.ov.end(), overlaps.begin(), overlaps.end());
       }
+      L.ovCnt.push_back((int32_t)(L.ov.size() - ov0));
+      L.consCnt.push_back((int32_t)(L.cons.size() - cons0));
+      L.itemCnt.push_back((int32_t)(L.items.size() - item0));
     }
   };
   if (nt == 1) {
@@ -1823,29 +1871,53 @@ static void DeferApplyGapCounts(Engine& eng, const int32_t* match) {
     for (auto& th : threads) th.join();
   }
 
-  st.items.clear();
-  st.maxTL = st.maxPL = 0;
-  for (auto& dr : st.reads) {
-    dr.itemBegin = (int64_t)st.items.size();
-    for (auto& slots : dr.extSlots)
-      for (int s = 0; s < 2; ++s)
-        if (slots[s] >= 0) slots[s] += dr.itemBegin;
-    for (const DeferItem& it : dr.localItems) {
-      st.maxTL = std::max(st.maxTL, it.tLen);
-      st.maxPL = std::max(st.maxPL, it.pLen);
-      st.items.push_back(it);
+  // Merge in thread order (worker ranges are contiguous ascending).
+  st.itemOff.resize(nReads + 1);
+  st.ovOff.resize(nReads + 1);
+  st.consOff.resize(nReads + 1);
+  st.itemOff[0] = st.ovOff[0] = st.consOff[0] = 0;
+  int64_t r = 0;
+  for (int t = 0; t < nt; ++t) {
+    const Local& L = locals[t];
+    for (size_t j = 0; j < L.ovCnt.size(); ++j, ++r) {
+      st.itemOff[r + 1] = st.itemOff[r] + L.itemCnt[j];
+      st.ovOff[r + 1] = st.ovOff[r] + L.ovCnt[j];
+      st.consOff[r + 1] = st.consOff[r] + L.consCnt[j];
     }
-    dr.localItems.clear();
+    st.maxTL = std::max(st.maxTL, L.maxTL);
+    st.maxPL = std::max(st.maxPL, L.maxPL);
   }
-  st.phase = 2;
+  if (nt == 1) {
+    st.ov = std::move(locals[0].ov);
+    st.slots = std::move(locals[0].slots);
+    st.cons = std::move(locals[0].cons);
+    st.items = std::move(locals[0].items);
+  } else {
+    size_t novTot = 0, nconsTot = 0, nitemTot = 0;
+    for (const Local& L : locals) {
+      novTot += L.ov.size();
+      nconsTot += L.cons.size();
+      nitemTot += L.items.size();
+    }
+    st.ov.reserve(novTot);
+    st.slots.reserve(2 * novTot);
+    st.cons.reserve(nconsTot);
+    st.items.reserve(nitemTot);
+    for (Local& L : locals) {
+      st.ov.insert(st.ov.end(), L.ov.begin(), L.ov.end());
+      st.slots.insert(st.slots.end(), L.slots.begin(), L.slots.end());
+      st.cons.insert(st.cons.end(), L.cons.begin(), L.cons.end());
+      st.items.insert(st.items.end(), L.items.begin(), L.items.end());
+    }
+  }
 }
 
-// Phase E: replay the extension walk on batched counts, run the
-// near-best full-span pass, and stage results exactly like the inline
-// batch path.
-static int64_t DeferFinish(Engine& eng, const int32_t* match) {
-  DeferState& st = *eng.defer;
-  int64_t nReads = (int64_t)st.reads.size();
+// Finish pass: fold gap counts, finalize + sort, replay the extension
+// state machine on the batched counts, near-best full-span walks,
+// result staging (identical to the inline batch path).
+static int64_t DeferFinish2(Engine& eng, const int32_t* match,
+                            DeferState& st) {
+  int64_t nReads = (int64_t)st.meta.size();
   int nt = eng.nThreads < 1 ? 1 : eng.nThreads;
   if (nt > nReads) nt = nReads > 0 ? (int)nReads : 1;
 
@@ -1860,39 +1932,80 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
 
   auto worker = [&](int tid) {
     AlignScratch scratch;
+    static thread_local std::vector<int8_t> rcBuf;
+    static thread_local std::vector<Overlap> ovs;
+    static thread_local std::vector<std::array<int32_t, 2>> slts;
+    static thread_local std::vector<int32_t> perm;
     int64_t lo = nReads / nt * tid;
     int64_t hi = (tid == nt - 1) ? nReads : nReads / nt * (tid + 1);
     for (int64_t i = lo; i < hi; ++i) {
-      DeferRead& dr = st.reads[i];
+      const DeferState::ReadMeta& M = st.meta[i];
       std::vector<Overlap>& assign = eng.lastAssign[base + i];
-      if (!dr.overlaps.empty()) {
-        AssignExtendAndFinish(
-            eng, dr.read, dr.rc.data(), dr.len, dr.weight, dr.overlaps,
-            &assign, &scratch,
-            [&](int oi, const Overlap& o, const ExtGeom& g, const int8_t* r,
-                int* lm, int* rm) {
-              const int64_t* slots = dr.extSlots[oi].data();
-              const int sides[2] = {g.leftOver, g.rightOver};
-              int res[2];
-              for (int s = 0; s < 2; ++s) {
-                if (slots[s] == -1) {
-                  res[s] = 0;
-                } else if (slots[s] == -2) {
-                  const int8_t* seq = eng.Seq(o.seq);
-                  const int8_t* t =
-                      s == 0 ? seq + o.seqStart - g.leftOver : seq + o.seqEnd + 1;
-                  const int8_t* p = s == 0 ? r + o.readStart - g.leftOver
-                                           : r + o.readEnd + 1;
-                  res[s] = BandedGlobalAlignStats(t, sides[s], p, sides[s], 5,
-                                                  &scratch)
-                               .match;
-                } else {
-                  res[s] = match[slots[s]];
-                }
-              }
-              *lm = res[0];
-              *rm = res[1];
+      int ovCnt = (int)(st.ovOff[i + 1] - st.ovOff[i]);
+      if (ovCnt) {
+        Overlap* ovp = st.ov.data() + st.ovOff[i];
+        int32_t* slp = st.slots.data() + 2 * st.ovOff[i];
+        const int64_t itemBase = st.itemOff[i];
+        for (int64_t c = st.consOff[i]; c < st.consOff[i + 1]; ++c)
+          ovp[st.cons[c].second].matchCnt +=
+              2 * match[itemBase + st.cons[c].first];
+        rcBuf.resize(M.len);
+        for (int j = 0; j < M.len; ++j) {
+          int8_t c = M.read[M.len - 1 - j];
+          rcBuf[j] = c < 4 ? 3 - c : 4;
+        }
+        int w = FinalizeOverlapSimilarityArr(eng, M.read, rcBuf.data(), ovp,
+                                             ovCnt, slp);
+        if (w) {
+          // Sort a permutation with the same comparator: std::sort's
+          // comparison/exchange sequence depends only on comparator
+          // outcomes over logical positions, so the resulting order
+          // equals sorting the Overlap array directly (what the inline
+          // path does) for this standard library.
+          {
+            ScopedNs sortTimer(&gProf.sortT);
+            perm.resize(w);
+            for (int q = 0; q < w; ++q) perm[q] = q;
+            std::sort(perm.begin(), perm.end(), [&](int a, int b) {
+              return OverlapRankLess(ovp[a], ovp[b]);
             });
+          }
+          ovs.resize(w);
+          slts.resize(w);
+          for (int q = 0; q < w; ++q) {
+            ovs[q] = ovp[perm[q]];
+            slts[q] = {slp[2 * perm[q]], slp[2 * perm[q] + 1]};
+          }
+          AssignExtendAndFinish(
+              eng, M.read, rcBuf.data(), M.len, M.weight, ovs, &assign,
+              &scratch,
+              [&](int oi, const Overlap& o, const ExtGeom& g, const int8_t* r,
+                  int* lm, int* rm) {
+                const int sides[2] = {g.leftOver, g.rightOver};
+                int res[2];
+                for (int s = 0; s < 2; ++s) {
+                  int32_t slot = slts[oi][s];
+                  if (slot == -1) {
+                    res[s] = 0;
+                  } else if (slot == -2) {
+                    const int8_t* seq = eng.Seq(o.seq);
+                    const int8_t* t = s == 0 ? seq + o.seqStart - g.leftOver
+                                             : seq + o.seqEnd + 1;
+                    const int8_t* p = s == 0 ? r + o.readStart - g.leftOver
+                                             : r + o.readEnd + 1;
+                    res[s] = BandedGlobalAlignStats(t, sides[s], p, sides[s],
+                                                    5, &scratch)
+                                 .match;
+                  } else {
+                    res[s] = match[itemBase + slot];
+                  }
+                }
+                *lm = res[0];
+                *rm = res[1];
+              });
+        } else {
+          ovs.clear();
+        }
       }
       if (!eng.storeResults) {
         shardCounts[tid].push_back((int64_t)assign.size());
@@ -1928,20 +2041,17 @@ static int64_t DeferFinish(Engine& eng, const int32_t* match) {
     for (int64_t c : shardCounts[t])
       eng.resultOffsets.push_back(eng.resultOffsets.back() + c);
   }
-  // Keep st.reads' vector capacities for the next chunk (the driver
-  // calls t1k_defer_release when the whole batch is done).
-  st.items.clear();
-  st.phase = 0;
+  st.Clear();
   return eng.storeResults ? (int64_t)(eng.results.size() / 11)
-                        : eng.resultOffsets.back();
+                          : eng.resultOffsets.back();
 }
 
 static void DeferRelease(Engine& eng) {
-  if (!eng.defer) return;
-  eng.defer->reads.clear();
-  eng.defer->reads.shrink_to_fit();
-  eng.defer->items.clear();
-  eng.defer->items.shrink_to_fit();
+  for (int s = 0; s < 2; ++s) {
+    if (!eng.defer2[s]) continue;
+    delete eng.defer2[s];
+    eng.defer2[s] = nullptr;
+  }
 }
 
 // Candidate screen used by the extractor: best (strand, seq) hit bucket,
@@ -2027,7 +2137,7 @@ void* t1k_engine_create(const int8_t* seq_codes, const int64_t* seq_starts,
 
 void t1k_engine_destroy(void* e) {
   auto* eng = static_cast<t1k::Engine*>(e);
-  delete eng->defer;
+  t1k::DeferRelease(*eng);
   delete eng;
 }
 
@@ -2068,6 +2178,12 @@ void t1k_defer_end_chunked(void* e) {
             (long long)t1k::gProf.walkComputes.load(),
             (long long)t1k::gProf.scatterOps.load());
     fprintf(stderr,
+            "[defer] nSpec=%lld specCyc sep=%.2fG geom=%.2fG memo=%.2fG\n",
+            (long long)t1k::gProf.nSpec.load(),
+            t1k::gProf.cycSpecSep.load() / 1e9,
+            t1k::gProf.cycSpecGeom.load() / 1e9,
+            t1k::gProf.cycSpecMemo.load() / 1e9);
+    fprintf(stderr,
             "[defer] chainCyc probe=%.2fG replay=%.2fG cluster=%.2fG "
             "record=%.2fG\n",
             t1k::gProf.cycMemoProbe.load() / 1e9,
@@ -2083,26 +2199,27 @@ void t1k_defer_release(void* e) {
   t1k::DeferRelease(*static_cast<t1k::Engine*>(e));
 }
 
-// Phase A; returns the number of gap-fill DP items to score externally.
-// The read arrays must stay valid until t1k_defer_finish returns.
+// Begin pass: seed/chain + item emission for one chunk into `slot`;
+// returns the number of DP items to score externally.  The read arrays
+// must stay valid until t1k_defer2_finish(slot) returns.
 // total_read_len is the caller's FULL flat read-codes array length (the
 // descriptor fetch addresses reverse-complement windows at
 // total_read_len + offset, matching a device-resident [fwd | rc]
 // doubled array).
-int64_t t1k_defer_begin(void* e, const int8_t* read_codes,
-                        const int64_t* read_starts, const int32_t* read_lens,
-                        const int32_t* weights, int64_t n_reads,
-                        int64_t total_read_len) {
+int64_t t1k_defer2_begin(void* e, int32_t slot, const int8_t* read_codes,
+                         const int64_t* read_starts,
+                         const int32_t* read_lens, const int32_t* weights,
+                         int64_t n_reads, int64_t total_read_len) {
   auto& eng = *static_cast<t1k::Engine*>(e);
-  if (!eng.defer) eng.defer = new t1k::DeferState();
-  t1k::DeferBegin(eng, read_codes, read_starts, read_lens, weights, n_reads,
-                  total_read_len);
-  return (int64_t)eng.defer->items.size();
+  if (!eng.defer2[slot]) eng.defer2[slot] = new t1k::DeferState();
+  t1k::DeferBegin2(eng, read_codes, read_starts, read_lens, weights, n_reads,
+                   total_read_len, *eng.defer2[slot]);
+  return (int64_t)eng.defer2[slot]->items.size();
 }
 
-void t1k_defer_dims(void* e, int64_t* n_items, int32_t* max_t,
-                    int32_t* max_p) {
-  auto& st = *static_cast<t1k::Engine*>(e)->defer;
+void t1k_defer2_dims(void* e, int32_t slot, int64_t* n_items, int32_t* max_t,
+                     int32_t* max_p) {
+  auto& st = *static_cast<t1k::Engine*>(e)->defer2[slot];
   *n_items = (int64_t)st.items.size();
   *max_t = st.maxTL;
   *max_p = st.maxPL;
@@ -2110,17 +2227,34 @@ void t1k_defer_dims(void* e, int64_t* n_items, int32_t* max_t,
 
 // Copy the pending items' text/pattern windows into caller buffers
 // (row-major [n_items, cap]; rows beyond each length are left untouched,
-// so pass zero-initialised arrays).
-void t1k_defer_fetch(void* e, int8_t* t_out, int32_t* t_lens, int8_t* p_out,
-                     int32_t* p_lens, int32_t t_cap, int32_t p_cap) {
+// so pass zero-initialised arrays).  Reverse-complement reads are
+// rebuilt lazily (items of one read are contiguous).
+void t1k_defer2_fetch(void* e, int32_t slot, int8_t* t_out, int32_t* t_lens,
+                      int8_t* p_out, int32_t* p_lens, int32_t t_cap,
+                      int32_t p_cap) {
   auto& eng = *static_cast<t1k::Engine*>(e);
-  auto& st = *eng.defer;
+  auto& st = *eng.defer2[slot];
+  std::vector<int8_t> rc;
+  int32_t cur = -1;
   for (size_t i = 0; i < st.items.size(); ++i) {
     const t1k::DeferItem& it = st.items[i];
     std::memcpy(t_out + i * (size_t)t_cap, eng.codes + it.tOff, it.tLen);
     t_lens[i] = it.tLen;
-    const t1k::DeferRead& dr = st.reads[it.readIdx];
-    const int8_t* p = (it.useRc ? dr.rc.data() : dr.read) + it.pOff;
+    const t1k::DeferState::ReadMeta& M = st.meta[it.readIdx];
+    const int8_t* p;
+    if (it.useRc) {
+      if (it.readIdx != cur) {
+        rc.resize(M.len);
+        for (int j = 0; j < M.len; ++j) {
+          int8_t c = M.read[M.len - 1 - j];
+          rc[j] = c < 4 ? 3 - c : 4;
+        }
+        cur = it.readIdx;
+      }
+      p = rc.data() + it.pOff;
+    } else {
+      p = M.read + it.pOff;
+    }
     std::memcpy(p_out + i * (size_t)p_cap, p, it.pLen);
     p_lens[i] = it.pLen;
   }
@@ -2132,32 +2266,26 @@ void t1k_defer_fetch(void* e, int8_t* t_out, int32_t* t_lens, int8_t* p_out,
 // p_off into a doubled [fwd | rc] flat read array (uploaded once per
 // batch; rc windows are contiguous ascending slices there).  ~20 bytes
 // cross the link per item instead of the two padded windows.
-void t1k_defer_fetch_desc(void* e, int64_t* t_off, int32_t* t_len,
-                          int64_t* p_off, int32_t* p_len) {
+void t1k_defer2_fetch_desc(void* e, int32_t slot, int64_t* t_off,
+                           int32_t* t_len, int64_t* p_off, int32_t* p_len) {
   auto& eng = *static_cast<t1k::Engine*>(e);
-  auto& st = *eng.defer;
+  auto& st = *eng.defer2[slot];
   for (size_t i = 0; i < st.items.size(); ++i) {
     const t1k::DeferItem& it = st.items[i];
-    const t1k::DeferRead& dr = st.reads[it.readIdx];
+    const t1k::DeferState::ReadMeta& M = st.meta[it.readIdx];
     t_off[i] = it.tOff;
     t_len[i] = it.tLen;
-    p_off[i] = (it.useRc ? st.totalReadLen : (int64_t)0) + dr.flatOff +
+    p_off[i] = (it.useRc ? st.totalReadLen : (int64_t)0) + M.flatOff +
                it.pOff;
     p_len[i] = it.pLen;
   }
 }
 
-// Phase C; returns the number of extension items to score externally.
-int64_t t1k_defer_counts(void* e, const int32_t* match) {
-  auto& eng = *static_cast<t1k::Engine*>(e);
-  t1k::DeferApplyGapCounts(eng, match);
-  return (int64_t)eng.defer->items.size();
-}
-
-// Phase E; returns the number of result records (same getters as
+// Finish pass; returns the number of result records (same getters as
 // t1k_assign_batch).
-int64_t t1k_defer_finish(void* e, const int32_t* match) {
-  return t1k::DeferFinish(*static_cast<t1k::Engine*>(e), match);
+int64_t t1k_defer2_finish(void* e, int32_t slot, const int32_t* match) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  return t1k::DeferFinish2(eng, match, *eng.defer2[slot]);
 }
 
 void t1k_engine_set_hit_len(void* e, int32_t h) {

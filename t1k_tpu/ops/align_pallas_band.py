@@ -534,11 +534,14 @@ class DeferredDescService:
 
     @staticmethod
     def _pow2_pad(n: int, lo: int = 1 << 18) -> int:
-        """Sequence tensors are padded to power-of-2 lengths so the jit
-        signatures (which bake in array shapes) RECUR across datasets —
-        on this rig compiles run through a relay whose cache is keyed by
-        HLO, so a fresh panel/batch size must not mean a fresh ~30-100s
-        kernel compile."""
+        """Sequence tensors are padded to power-of-2 lengths with a HIGH
+        floor so the jit signatures (which bake in array shapes) are
+        CANONICAL across datasets: a reference up to 8MB and a read
+        batch up to 4MB share one compiled kernel variant.  Kernel
+        compiles run through a relay that takes 50-400s per variant
+        (congestion-dependent) while the persistent cache serves a
+        cached variant in ~0.2s — a few MB of padded HBM is free by
+        comparison."""
         p = lo
         while p < n:
             p <<= 1
@@ -555,7 +558,7 @@ class DeferredDescService:
                codes.shape[0])
         if self._ref_key == key:
             return
-        p = self._pow2_pad(codes.shape[0] + 256)
+        p = self._pow2_pad(codes.shape[0] + 256, lo=1 << 23)
         buf = np.zeros(p, np.int8)
         buf[:codes.shape[0]] = codes
         self._ref = jnp.asarray(buf)
@@ -574,7 +577,7 @@ class DeferredDescService:
         assert total < 2**30, (
             "deferred descriptor transport caps at 2^30 read bytes per "
             "batch; chunk the reads")
-        p = self._pow2_pad(total + 256)
+        p = self._pow2_pad(total + 256, lo=1 << 22)
         buf = np.zeros(p, np.int8)
         buf[:total] = read_codes
         fwd = jnp.asarray(buf)
@@ -602,11 +605,16 @@ class DeferredDescService:
         idx = np.arange(total, dtype=np.int64)
         self._rev_idx = (2 * rep_start + rep_len - 1 - idx).astype(np.int32)
 
-    def stats(self, t_off, t_len, p_off, p_len) -> np.ndarray:
+    def stats_async(self, t_off, t_len, p_off, p_len):
+        """Dispatch scoring of the items to the device and return a
+        materializer.  JAX execution is asynchronous, so the caller can
+        do host work (the next chunk's seed/chain) while the kernel
+        runs; calling the returned function blocks on and collects the
+        match counts."""
         n = len(t_len)
-        out = np.zeros(n, np.int32)
         if n == 0:
-            return out
+            zero = np.zeros(0, np.int32)
+            return lambda: zero
         t_off = np.asarray(t_off)
         p_off = np.asarray(p_off)
         t_len = np.asarray(t_len, np.int32)
@@ -643,9 +651,17 @@ class DeferredDescService:
                     jnp.asarray(tl), jnp.asarray(po), jnp.asarray(pl_),
                     lb, _DESC_ML, _DESC_W, nblocks, self.G, self.interpret)
                 pending.append((part, m))
-        for part, m in pending:
-            out[part] = np.asarray(m)[:len(part)].astype(np.int32)
-        return out
+
+        def collect() -> np.ndarray:
+            out = np.zeros(n, np.int32)
+            for part, m in pending:
+                out[part] = np.asarray(m)[:len(part)].astype(np.int32)
+            return out
+
+        return collect
+
+    def stats(self, t_off, t_len, p_off, p_len) -> np.ndarray:
+        return self.stats_async(t_off, t_len, p_off, p_len)()
 
 
 def make_deferred_desc_service(G: int = 8, interpret: bool = False):
