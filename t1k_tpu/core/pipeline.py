@@ -118,15 +118,39 @@ def resolve_backend(backend: str) -> str:
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats.split(",")[0].strip().lower() == "cpu":
         return "native"
-    try:
-        import jax
+    # Backend init + the RTT probe run in a SUBPROCESS: a wedged remote
+    # accelerator can hang jax backend init indefinitely, and "auto"
+    # must degrade to the native engine rather than hang the pipeline
+    # (a hung in-process probe thread also crashes at interpreter exit).
+    # The verdict is cached in the environment so child workers skip it.
+    import subprocess
+    import sys as _sys
 
-        if jax.devices()[0].platform != "tpu":
-            return "native"
-        limit = float(os.environ.get("T1K_TPU_RTT_MS", "10"))
-        return "tpu" if device_rtt_ms() <= limit else "native"
-    except Exception:
-        return "native"
+    limit = os.environ.get("T1K_TPU_RTT_MS", "10")
+    probe_src = (
+        "import jax\n"
+        "d = jax.devices()[0]\n"
+        "assert d.platform == 'tpu'\n"
+        "import numpy as np, time\n"
+        "x = np.zeros(8, np.int32)\n"
+        "s = []\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    np.asarray(jax.device_put(x))\n"
+        "    s.append((time.perf_counter() - t0) * 1e3)\n"
+        f"assert sorted(s)[1] <= {float(limit)}\n"
+    )
+    try:
+        rc = subprocess.run(
+            [_sys.executable, "-c", probe_src],
+            timeout=float(os.environ.get("T1K_TPU_PROBE_TIMEOUT_S", "20")),
+            capture_output=True).returncode
+        resolved = "tpu" if rc == 0 else "native"
+    except subprocess.TimeoutExpired:
+        log("TPU probe timed out; using the native backend.")
+        resolved = "native"
+    os.environ["T1K_BACKEND"] = resolved
+    return resolved
 
 
 @dataclass
