@@ -12,6 +12,7 @@ device k-mer classifier (ops/kmer.py) in batches.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -93,6 +94,12 @@ def run_extractor(
         refset.add_allele(rec.id, rec.seq, rec.comment)
     packed = refset.packed()
 
+    # Streaming ingest (reference FastqExtractor.cpp:483-567 processes
+    # 512*threads-read batches): the raw input is consumed in bounded
+    # chunks — screen, correct, and write each chunk before reading the
+    # next — so a WGS-scale FASTQ runs in O(chunk) memory.
+    BATCH = int(os.environ.get("T1K_EXTRACT_BATCH", "65536"))
+
     if interleaved:
         it1 = read_seq_files(reads1, interleaved_id=1)
         it2 = read_seq_files(reads1, interleaved_id=2)
@@ -100,12 +107,15 @@ def run_extractor(
         it1 = read_seq_files(reads1)
         it2 = read_seq_files(reads2) if reads2 else None
 
-    recs1 = list(it1)
-    recs2 = list(it2) if it2 is not None else None
+    first1: List[SeqRecord] = []
+    for rec in it1:
+        first1.append(rec)
+        if len(first1) >= BATCH:
+            break
 
     # hit-length threshold from a 1000-read sample (FastqExtractor.cpp:390-407)
     hit_len = EXTRACTOR_HIT_LEN_PAIRED if has_mate else EXTRACTOR_HIT_LEN_SINGLE
-    sample = recs1[:1000]
+    sample = first1[:1000]
     if not sample:
         raise ValueError("read file is empty")
     total_len = sum(len(r.seq) for r in sample)
@@ -128,18 +138,22 @@ def run_extractor(
     )
 
     corrector = None
-    bc_recs = None
-    if opts.barcode_file:
+    bc_iter = None
+    has_bc = bool(opts.barcode_file)
+    if has_bc:
         bc_files = (opts.barcode_file
                     if isinstance(opts.barcode_file, (list, tuple))
                     else [opts.barcode_file])
-        bc_recs = list(read_seq_files(bc_files))
         if opts.barcode_whitelist:
             corrector = BarcodeCorrector()
             corrector.set_whitelist(opts.barcode_whitelist)
+            # background distribution from a dedicated streaming pass
+            # (the corrector caps its sample at 2M reads like the
+            # reference, BarcodeCorrector.hpp:154-168)
             corrector.collect_background(
-                (r.seq for r in bc_recs), opts.barcode_start, opts.barcode_end,
-                opts.barcode_revcomp)
+                (r.seq for r in read_seq_files(bc_files)),
+                opts.barcode_start, opts.barcode_end, opts.barcode_revcomp)
+        bc_iter = read_seq_files(bc_files)
 
     # Device prefilter (backend "tpu"): a conservative k-mer classification
     # pass on the TPU discards the bulk of off-target reads (provably no
@@ -176,28 +190,14 @@ def run_extractor(
                 flags[i] = sub[j]
         return flags
 
-    from ..utils.observability import stage
-    with stage("extraction_screen", read_count=len(recs1)) as st:
-        good = screen(recs1)
-        if recs2 is not None:
-            # only screen mate 2 where mate 1 failed (either-mate rule)
-            failed = [i for i in range(len(recs2)) if not good[i]]
-            if failed:
-                sub_flags = screen([recs2[i] for i in failed])
-                for j, i in enumerate(failed):
-                    if sub_flags[j]:
-                        good[i] = 1
-        st["candidate_count"] = int(np.sum(good != 0))
-
-    # Outputs.
-    n_out = 0
+    # Outputs (opened up front; chunks append in input order).
     if has_mate:
         f1 = open(f"{output_prefix}_1.fq", "w")
         f2 = open(f"{output_prefix}_2.fq", "w")
     else:
         f1 = open(f"{output_prefix}.fq", "w")
         f2 = None
-    fbc = open(f"{output_prefix}_bc.fa", "w") if bc_recs is not None else None
+    fbc = open(f"{output_prefix}_bc.fa", "w") if has_bc else None
 
     def write_rec(f, name: str, rec: SeqRecord, start: int, end: int):
         seq = _slice(rec.seq, start, end)
@@ -207,33 +207,77 @@ def run_extractor(
         else:
             f.write(f"@{name}\n{seq}\n+\n{qual}\n")
 
-    for i, keep in enumerate(good):
-        if not keep:
-            continue
-        n_out += 1
-        write_rec(f1, recs1[i].id, recs1[i], opts.read1_start, opts.read1_end)
-        if f2 is not None:
-            write_rec(f2, recs1[i].id, recs2[i], opts.read2_start, opts.read2_end)
-        if fbc is not None:
-            raw = bc_recs[i].seq
-            if raw:
-                bc = format_barcode(raw, opts.barcode_start, opts.barcode_end,
-                                    opts.barcode_revcomp)
-                if corrector is not None:
-                    bc = corrector.correct(bc, bc_recs[i].qual)
-                # only an UNCORRECTABLE barcode becomes missing_barcode;
-                # a nonempty raw barcode SLICED to empty is emitted as an
-                # empty line (OutputBarcode only tests the raw barcode,
-                # FastqExtractor.cpp:157-199, and Correct("") resolves at
-                # the trie root)
-                fbc.write(f">{recs1[i].id}\n"
-                          f"{bc if bc is not None else 'missing_barcode'}\n")
-            else:
-                fbc.write(f">{recs1[i].id}\nmissing_barcode\n")
+    n_total = 0
+    n_out = 0
+    from ..utils.observability import stage
+    with stage("extraction_screen") as st:
+        chunk1 = first1
+        while chunk1:
+            chunk2 = None
+            if it2 is not None:
+                chunk2 = []
+                for rec2 in it2:
+                    chunk2.append(rec2)
+                    if len(chunk2) >= len(chunk1):
+                        break
+            bc_chunk = None
+            if bc_iter is not None:
+                bc_chunk = []
+                for recb in bc_iter:
+                    bc_chunk.append(recb)
+                    if len(bc_chunk) >= len(chunk1):
+                        break
+
+            good = screen(chunk1)
+            if chunk2 is not None:
+                # only screen mate 2 where mate 1 failed (either-mate rule)
+                failed = [i for i in range(len(chunk2)) if not good[i]]
+                if failed:
+                    sub_flags = screen([chunk2[i] for i in failed])
+                    for j, i in enumerate(failed):
+                        if sub_flags[j]:
+                            good[i] = 1
+
+            for i, keep in enumerate(good):
+                if not keep:
+                    continue
+                n_out += 1
+                write_rec(f1, chunk1[i].id, chunk1[i],
+                          opts.read1_start, opts.read1_end)
+                if f2 is not None:
+                    write_rec(f2, chunk1[i].id, chunk2[i],
+                              opts.read2_start, opts.read2_end)
+                if fbc is not None:
+                    raw = bc_chunk[i].seq
+                    if raw:
+                        bc = format_barcode(raw, opts.barcode_start,
+                                            opts.barcode_end,
+                                            opts.barcode_revcomp)
+                        if corrector is not None:
+                            bc = corrector.correct(bc, bc_chunk[i].qual)
+                        # only an UNCORRECTABLE barcode becomes
+                        # missing_barcode; a nonempty raw barcode SLICED
+                        # to empty is emitted as an empty line
+                        # (OutputBarcode only tests the raw barcode,
+                        # FastqExtractor.cpp:157-199, and Correct("")
+                        # resolves at the trie root)
+                        fbc.write(f">{chunk1[i].id}\n"
+                                  f"{bc if bc is not None else 'missing_barcode'}\n")
+                    else:
+                        fbc.write(f">{chunk1[i].id}\nmissing_barcode\n")
+
+            n_total += len(chunk1)
+            chunk1 = []
+            for rec in it1:
+                chunk1.append(rec)
+                if len(chunk1) >= BATCH:
+                    break
+        st["read_count"] = n_total
+        st["candidate_count"] = n_out
 
     f1.close()
     if f2 is not None:
         f2.close()
     if fbc is not None:
         fbc.close()
-    return {"total": len(recs1), "candidates": n_out}
+    return {"total": n_total, "candidates": n_out}
