@@ -46,17 +46,25 @@ class Variant:
 
 
 class BaseVariants:
-    """Per-sequence per-base nucleotide evidence."""
+    """Per-sequence per-base nucleotide evidence.
 
-    def __init__(self, length: int, exon_mask: np.ndarray):
-        self.count = np.zeros((length, 4), dtype=np.float64)
-        self.uniq = np.zeros((length, 4), dtype=np.float64)
-        self.unweighted = np.zeros((length, 4), dtype=np.float64)
-        self.best_match = np.zeros((length, 4), dtype=np.int64)     # alignInfo.a
-        self.best_sim = np.zeros((length, 4), dtype=np.float64)     # alignInfo.b
-        # rowwise max of best_match, kept in sync: good_assignment is a
-        # hot call and "within 4 of every best" == "within 4 of the max"
-        self.best_match_max = np.zeros(length, dtype=np.int64)
+    With `views`, the six state arrays are numpy views into the
+    VariantCaller's flat arenas so the native counting pass
+    (native/variant.cc) and the Python consumers share one memory."""
+
+    def __init__(self, length: int, exon_mask: np.ndarray, views=None):
+        if views is None:
+            self.count = np.zeros((length, 4), dtype=np.float64)
+            self.uniq = np.zeros((length, 4), dtype=np.float64)
+            self.unweighted = np.zeros((length, 4), dtype=np.float64)
+            self.best_match = np.zeros((length, 4), dtype=np.int64)  # alignInfo.a
+            self.best_sim = np.zeros((length, 4), dtype=np.float64)  # alignInfo.b
+            # rowwise max of best_match, kept in sync: good_assignment
+            # is hot and "within 4 of every best" == "within 4 of max"
+            self.best_match_max = np.zeros(length, dtype=np.int64)
+        else:
+            (self.count, self.uniq, self.unweighted, self.best_match,
+             self.best_sim, self.best_match_max) = views
         self.exon = exon_mask
         self.candidate_id = np.full(length, -1, dtype=np.int64)
         self.final_variant_ids: Dict[int, List[int]] = {}
@@ -96,8 +104,26 @@ class VariantCaller:
         self.refset = refset
         self.packed = packed
         self.max_var_group = max_var_group
+        # flat per-base state arenas over all selected alleles; each
+        # BaseVariants holds views (native/variant.cc writes the arenas)
+        lens = np.array([a.length for a in refset.alleles], dtype=np.int64)
+        total = int(lens.sum())
+        self.seq_base = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=self.seq_base[1:])
+        self._count = np.zeros((total, 4), dtype=np.float64)
+        self._uniq = np.zeros((total, 4), dtype=np.float64)
+        self._unweighted = np.zeros((total, 4), dtype=np.float64)
+        self._best_match = np.zeros((total, 4), dtype=np.int64)
+        self._best_sim = np.zeros((total, 4), dtype=np.float64)
+        self._best_match_max = np.zeros(total, dtype=np.int64)
         self.base: List[BaseVariants] = [
-            BaseVariants(a.length, a.exon_mask) for a in refset.alleles
+            BaseVariants(
+                a.length, a.exon_mask,
+                views=tuple(arr[b:b + a.length] for arr in
+                            (self._count, self._uniq, self._unweighted,
+                             self._best_match, self._best_sim,
+                             self._best_match_max)))
+            for a, b in zip(refset.alleles, self.seq_base)
         ]
         self.seq_abundance = np.zeros(len(refset), dtype=np.float64)
         self.seq_copy = np.zeros(len(refset), dtype=np.int64)
@@ -241,30 +267,10 @@ class VariantCaller:
                     f.o1_rc if f.overlap1.strand == -1 else rc,
                     weight, filter_low_qual, f.overlap1)
 
-    def _update_all(self, all_frags: List[List], update_type: int) -> None:
-        """One full update pass over every fragment, batched.
-
-        Byte-identical to calling update_fragment per fragment, because
-        every reordered operation commutes:
-          * all count/uniq/unweighted updates are integer-valued f64
-            adds (exact at any accumulation order), and nothing reads
-            them during a pass;
-          * pass 1 (update_type=1) never reads best_* during the pass
-            (filter off), and its best updates are an order-independent
-            lexicographic (match, sim) max — deferred to a per-sequence
-            sorted reduction at the end of the pass;
-          * in pass 0 every no-stall overlap's best update is a no-op:
-            pass 1 already applied the identical (pos, nuc, match, sim)
-            tuples (a pass-0 no-stall overlap is no-stall in pass 1,
-            whose stall condition — an N substitution — is a subset of
-            pass 0's), so only the commutative count adds remain;
-          * stall detection reads live best state per overlap in
-            original order, and stalled overlaps run the exact
-            sequential walk inline — those are the only in-pass readers
-            and writers of best_*, so their interleaving is preserved.
-        """
-        # enumerate (overlap, strand-resolved read codes, weight) in
-        # fragment order, mirroring update_fragment
+    def _enumerate_items(self, all_frags: List[List],
+                         update_type: int) -> List[Tuple]:
+        """(overlap, strand-resolved read codes, weight) in fragment
+        order, mirroring update_fragment."""
         items: List[Tuple] = []
         for frags in all_frags:
             if not frags:
@@ -286,10 +292,94 @@ class VariantCaller:
                     rc = r2_codes if f.o1_from_r2 else r1_codes
                     items.append((f.overlap1, f.o1_rc if f.overlap1.strand == -1
                                   else rc, weight))
-        items = [it for it in items
-                 if it[0].seq_idx != -1 and it[0].align is not None]
+        return [it for it in items
+                if it[0].seq_idx != -1 and it[0].align is not None]
+
+    def _update_all(self, all_frags: List[List], update_type: int) -> None:
+        """One full update pass over every fragment.
+
+        Production path: the exact sequential reference walk in native
+        code (native/variant.cc), one call per pass over flat item
+        arrays — stall quirk and fragment order preserved verbatim.
+        T1K_VARIANT_BACKEND=python selects the vectorized NumPy
+        implementation (the original oracle) instead."""
+        import os
+
+        items = self._enumerate_items(all_frags, update_type)
         if not items:
             return
+        if os.environ.get("T1K_VARIANT_BACKEND", "native") == "python":
+            self._update_all_python(items, update_type)
+            return
+
+        from ..native import variant_update
+
+        n = len(items)
+        align_len = np.fromiter((len(o.align) for (o, _, _) in items),
+                                np.int32, n)
+        align_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(align_len[:-1], dtype=np.int64, out=align_off[1:])
+        align_cat = (np.concatenate([o.align for (o, _, _) in items])
+                     if n else np.zeros(0, np.int8))
+        align_cat = np.ascontiguousarray(align_cat, dtype=np.int8)
+        seq_idx = np.fromiter((o.seq_idx for (o, _, _) in items), np.int32, n)
+        seq_start = np.fromiter((o.seq_start for (o, _, _) in items),
+                                np.int32, n)
+        read_start = np.fromiter((o.read_start for (o, _, _) in items),
+                                 np.int32, n)
+        match_cnt = np.fromiter((o.match_cnt for (o, _, _) in items),
+                                np.int32, n)
+        similarity = np.fromiter((o.similarity for (o, _, _) in items),
+                                 np.float64, n)
+        uniq_add = np.fromiter((1 if w == 1 else 0 for (_, _, w) in items),
+                               np.uint8, n)
+        # the same read's codes back many items: concatenate each
+        # distinct array once, point items at shared offsets
+        uniq_pos: Dict[int, int] = {}
+        uniq_rcs: List[np.ndarray] = []
+        for _, rc, _ in items:
+            if id(rc) not in uniq_pos:
+                uniq_pos[id(rc)] = len(uniq_rcs)
+                uniq_rcs.append(rc)
+        u_lens = np.fromiter((len(rc) for rc in uniq_rcs), np.int64,
+                             len(uniq_rcs))
+        u_base = np.zeros(len(uniq_rcs), dtype=np.int64)
+        np.cumsum(u_lens[:-1], out=u_base[1:])
+        reads_cat = np.ascontiguousarray(np.concatenate(uniq_rcs),
+                                         dtype=np.int8)
+        read_off = np.fromiter((u_base[uniq_pos[id(rc)]]
+                                for (_, rc, _) in items), np.int64, n)
+        variant_update(
+            align_cat, align_off, align_len, seq_idx, seq_start, read_start,
+            match_cnt, similarity, uniq_add, reads_cat, read_off,
+            update_type != 1, self.seq_base, self._count.reshape(-1),
+            self._uniq.reshape(-1), self._unweighted.reshape(-1),
+            self._best_match.reshape(-1), self._best_sim.reshape(-1),
+            self._best_match_max)
+
+    def _update_all_python(self, items: List[Tuple],
+                           update_type: int) -> None:
+        """One full update pass, batched NumPy (the behavioural oracle).
+
+        Byte-identical to calling update_fragment per fragment, because
+        every reordered operation commutes:
+          * all count/uniq/unweighted updates are integer-valued f64
+            adds (exact at any accumulation order), and nothing reads
+            them during a pass;
+          * pass 1 (update_type=1) never reads best_* during the pass
+            (filter off), and its best updates are an order-independent
+            lexicographic (match, sim) max — deferred to a per-sequence
+            sorted reduction at the end of the pass;
+          * in pass 0 every no-stall overlap's best update is a no-op:
+            pass 1 already applied the identical (pos, nuc, match, sim)
+            tuples (a pass-0 no-stall overlap is no-stall in pass 1,
+            whose stall condition — an N substitution — is a subset of
+            pass 0's), so only the commutative count adds remain;
+          * stall detection reads live best state per overlap in
+            original order, and stalled overlaps run the exact
+            sequential walk inline — those are the only in-pass readers
+            and writers of best_*, so their interleaving is preserved.
+        """
         filter_low_qual = update_type != 1
 
         # build missing walk caches with ONE global cumsum instead of

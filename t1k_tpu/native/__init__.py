@@ -34,7 +34,7 @@ def _build_if_needed() -> None:
             raise RuntimeError(f"T1K_NATIVE_SO={_SO} does not exist")
         return
     srcs = [os.path.join(_DIR, f)
-            for f in ("engine.cc", "em.cc", "bamscan.cc")]
+            for f in ("engine.cc", "em.cc", "bamscan.cc", "variant.cc")]
     if os.path.exists(_SO) and all(
         os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs
     ):
@@ -514,6 +514,31 @@ def em_quantify(
         filter_frac, min_squarem_alpha, max_iterations, out,
     )
     return iters, out
+
+
+# ------------------------------------------------- native variant counting
+_lib.t1k_variant_update.restype = None
+_lib.t1k_variant_update.argtypes = [
+    ct.c_int64, _c_i8p, _c_i64p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
+    _c_i32p, _c_f64p, _c_u8p, _c_i8p, _c_i64p, ct.c_int32, _c_i64p,
+    _c_f64p, _c_f64p, _c_f64p,
+    np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+    _c_f64p,
+    np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+]
+
+
+def variant_update(align_cat, align_off, align_len, seq_idx, seq_start,
+                   read_start, match_cnt, similarity, uniq_add, reads_cat,
+                   read_off, filter_low_qual, seq_base, count, uniq,
+                   unweighted, best_match, best_sim, best_match_max):
+    """Exact per-base evidence accumulation over one update pass
+    (analyzer stage); all state arrays are updated in place."""
+    _lib.t1k_variant_update(
+        len(align_len), align_cat, align_off, align_len, seq_idx,
+        seq_start, read_start, match_cnt, similarity, uniq_add,
+        reads_cat, read_off, int(filter_low_qual), seq_base, count, uniq,
+        unweighted, best_match, best_sim, best_match_max)
 
 
 # ------------------------------------------------------- native BAM scan
