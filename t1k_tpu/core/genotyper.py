@@ -490,6 +490,17 @@ class Genotyper:
             return env
         if rg_cnt * max(ec_cnt, 1) < 5e7:
             return "native"
+        # Past the dense-incidence memory budget the device would fall
+        # back to the gather-bound segment formulation, which runs at
+        # ~1-host-core speed (benchmarks/em_iters.py) — never a win over
+        # the native loop, so "auto" refuses that regime (the segment
+        # path remains the beyond-HBM / multi-host sharded formulation
+        # behind an explicit em_backend="jax").
+        from ..ops.em import DENSE_EM_MAX_BYTES, DENSE_EM_MAX_ELEMS
+
+        if rg_cnt * max(ec_cnt, 1) > min(DENSE_EM_MAX_ELEMS,
+                                         DENSE_EM_MAX_BYTES):
+            return "native"
         from .pipeline import resolve_backend
 
         return "jax" if resolve_backend("auto") == "tpu" else "native"

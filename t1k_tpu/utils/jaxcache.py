@@ -28,6 +28,13 @@ def enable() -> None:
     _enabled = True
     if os.environ.get("T1K_JAX_CACHE", "1") == "0":
         return
+    # The cache exists for the slow relay-attached TPU compiles; CPU
+    # compiles are fast, and reloading CPU AOT entries across machine
+    # types trips XLA's feature checks (risk of SIGILL) — skip it when
+    # the platform routing pins CPU (tests, virtual-mesh dry runs).
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats.split(",")[0].strip().lower() == "cpu":
+        return
     cache_dir = os.environ.get("T1K_JAX_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "t1k_tpu", "jax")
     try:
