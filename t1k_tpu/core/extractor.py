@@ -155,31 +155,37 @@ def run_extractor(
                 opts.barcode_start, opts.barcode_end, opts.barcode_revcomp)
         bc_iter = read_seq_files(bc_files)
 
-    # Device prefilter (backend "tpu"): a conservative k-mer classification
-    # pass on the TPU discards the bulk of off-target reads (provably no
-    # false negatives); the native engine then re-screens survivors
-    # exactly, keeping the output byte-identical.
-    device_table = None
+    # Device screen (backend "tpu"): the EXACT extraction screen runs as
+    # one on-device phase-A program — k-mer hit generation, diagonal
+    # clustering, LIS chaining and the mismatch-budget test
+    # (ops/phase_a.py) — so the device owns seeding/chaining for this
+    # stage.  Only reads whose hit volume overflows the static device
+    # caps fall back to the native engine; output is byte-identical by
+    # construction.
+    device_screen = None
     from .pipeline import resolve_backend
     if resolve_backend(opts.backend) == "tpu":
-        from ..ops.kmer import DeviceKmerTable
-        device_table = DeviceKmerTable.build(packed, kmer_length)
+        from ..ops.phase_a import DeviceScreen
+        device_screen = DeviceScreen.build(
+            packed, kmer_length, hit_len, opts.ref_seq_similarity)
 
     # Screen: low-complexity prefilter, then batched k-mer chained screen.
     def screen(recs: List[SeqRecord]) -> np.ndarray:
         flags = np.zeros(len(recs), dtype=np.uint8)
         todo = [i for i, r in enumerate(recs) if not is_low_complexity(r.seq)]
-        if todo and device_table is not None:
-            from ..ops.kmer import prefilter_flags
+        if todo and device_screen is not None:
             max_len = max(len(recs[i].seq) for i in todo)
-            padded = np.zeros((len(todo), max_len), dtype=np.int8)
+            padded = np.full((len(todo), max_len), 4, dtype=np.int8)
             plens = np.zeros(len(todo), dtype=np.int32)
             for j, i in enumerate(todo):
                 c = encode_seq(recs[i].seq)
                 padded[j, :len(c)] = c
                 plens[j] = len(c)
-            keep = prefilter_flags(device_table, padded, plens, hit_len)
-            todo = [i for j, i in enumerate(todo) if keep[j]]
+            verdict, dec = device_screen.screen(padded, plens)
+            for j, i in enumerate(todo):
+                if dec[j]:
+                    flags[i] = verdict[j]
+            todo = [i for j, i in enumerate(todo) if not dec[j]]
         if todo:
             codes = np.concatenate([encode_seq(recs[i].seq) for i in todo])
             lens = np.array([len(recs[i].seq) for i in todo], dtype=np.int32)
