@@ -96,7 +96,9 @@ class PhaseAIndex:
 
     @classmethod
     def build(cls, packed, k: int) -> "PhaseAIndex":
-        assert k <= 16, "phase-A codes are uint32 (k <= 16)"
+        # 0xFFFFFFFF is the hashed-table empty sentinel, so the all-T
+        # k=16 code cannot be represented: the effective ceiling is 15.
+        assert k <= 15, "phase-A codes are uint32 with an empty sentinel (k <= 15)"
         max_len = int(packed.seq_lens.max()) if packed.n else 0
         assert max_len < 1 << 20, "diagonal packing assumes seq len < 1M"
         all_codes = []
@@ -378,7 +380,6 @@ def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,
     tgt = jnp.where(emitf, startf, cap)
     scat = lambda v: jnp.zeros(cap + 1, jnp.int32).at[tgt].set(v)[:cap]
     w = jax.lax.cummax(scat(wid))        # window ids ascend with offset
-    st = jax.lax.cummax(scat(startf))
     q = _fill_last(scat(emitf.astype(jnp.int32)).astype(bool),
                    scat(cstart.reshape(-1) - startf))
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -599,8 +600,19 @@ class DeviceScreen:
         if L < idx.k:
             # no window fits: the engine rejects every such read
             return np.zeros(n, bool), np.ones(n, bool)
-        if L >= 1 << 12:  # beyond the read-length envelope: let the
-            return (np.zeros(n, bool), np.zeros(n, bool))  # host decide
+        if L >= 1 << 12:
+            # Reads at/above the 4096-length envelope go to the host,
+            # but PER READ: the rest of the batch is re-padded to its
+            # own max length and screened on device (a single long read
+            # must not forfeit the device path for the whole chunk).
+            keep = lens < (1 << 12)
+            out_v = np.zeros(n, bool)
+            out_d = np.zeros(n, bool)
+            if keep.any():
+                sub_l = lens[keep]
+                sub_c = codes[keep][:, :int(sub_l.max())]
+                out_v[keep], out_d[keep] = self.screen(sub_c, sub_l)
+            return out_v, out_d
         Lp = 64
         while Lp < L:
             Lp *= 2
@@ -609,8 +621,35 @@ class DeviceScreen:
             rows *= 2
         out_v = np.zeros(n, bool)
         out_d = np.zeros(n, bool)
-        # phase 1: dispatch every chunk's probe kernel (async)
-        probes = []
+        # Probe/chain software pipeline with a BOUNDED in-flight window:
+        # each chunk's probe leaves [rows, 2W] contrib/cstart resident on
+        # device until its chain consumes them, so dispatching every
+        # probe up front holds O(n/rows) such arenas at once (multiple
+        # GB of HBM at the default 65536-read batch near the length
+        # envelope).  A small window keeps the probe kernel of chunk
+        # i+1..i+K in flight while chunk i's arena total syncs and its
+        # chain dispatches, then drops chunk i's intermediates.
+        MAX_INFLIGHT = 4
+        probes: list = []
+        chains = []
+
+        def _drain_one():
+            lo, hi, pl, budgets, contrib, cstart, tot = probes.pop(0)
+            # size the chunk's flat hit arena from its measured total
+            # ([R, 2W] intermediates never leave the device); a chunk
+            # past the last tier falls back to the native screen whole
+            tot_all = int(np.asarray(tot).sum())
+            cap = next((t for t in self.tiers if tot_all <= t), None)
+            if cap is None:
+                return
+            v, d = _chain_kernel(
+                contrib, cstart, jnp.asarray(pl), jnp.asarray(budgets),
+                idx.post_seq, idx.post_off,
+                k=idx.k, n_seqs=idx.n_seqs, radius=self.radius,
+                hit_len_required=self.hit_len_required,
+                cap=cap, bucket_cap=self.bucket_cap)
+            chains.append((lo, hi, v, d))
+
         for lo in range(0, n, rows):
             hi = min(lo + rows, n)
             pc = np.full((rows, Lp), 4, np.int8)
@@ -628,22 +667,10 @@ class DeviceScreen:
                 k=idx.k, direct=idx.direct, hsize=idx.hsize,
                 max_probe=idx.max_probe)
             probes.append((lo, hi, pl, budgets, contrib, cstart, tot))
-        # phase 2: size each chunk's flat hit arena from its measured
-        # total ([R, 2W] intermediates never leave the device); a chunk
-        # past the last tier falls back to the native screen whole
-        chains = []
-        for lo, hi, pl, budgets, contrib, cstart, tot in probes:
-            tot_all = int(np.asarray(tot).sum())
-            cap = next((t for t in self.tiers if tot_all <= t), None)
-            if cap is None:
-                continue
-            v, d = _chain_kernel(
-                contrib, cstart, jnp.asarray(pl), jnp.asarray(budgets),
-                idx.post_seq, idx.post_off,
-                k=idx.k, n_seqs=idx.n_seqs, radius=self.radius,
-                hit_len_required=self.hit_len_required,
-                cap=cap, bucket_cap=self.bucket_cap)
-            chains.append((lo, hi, v, d))
+            if len(probes) >= MAX_INFLIGHT:
+                _drain_one()
+        while probes:
+            _drain_one()
         for lo, hi, v, d in chains:
             out_v[lo:hi] = np.asarray(v)[:hi - lo]
             out_d[lo:hi] = np.asarray(d)[:hi - lo]

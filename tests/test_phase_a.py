@@ -133,9 +133,7 @@ def test_screen_parity_repeats_and_hashed():
     check_parity(seqs, reads, k=9, hit_len=23, sim=0.8)
     base = rand_seq(rng, 600)
     seqs13 = [mutate(rng, base, 0.02).replace("N", "G") for _ in range(15)]
-    idx = PhaseAIndex.build(
-        RefSet(digit_units=-1, delimiter="").packed()
-        if False else _packed(seqs13), 13)
+    idx = PhaseAIndex.build(_packed(seqs13), 13)
     assert not idx.direct and idx.max_probe >= 1
     check_parity(seqs13, make_reads(rng, seqs13, 40), k=13, hit_len=23,
                  sim=0.9)
