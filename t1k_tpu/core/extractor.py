@@ -162,9 +162,15 @@ def run_extractor(
     # stage.  Only reads whose hit volume overflows the static device
     # caps fall back to the native engine; output is byte-identical by
     # construction.
+    # Routing: the device screen ships each read batch up ONCE and does
+    # all seeding/chaining device-side (bulk compute, small interface),
+    # so it wins through a relay too (measured 3.7x a host core via a
+    # ~40ms relay) — "auto" therefore gates on TPU PRESENCE, not on the
+    # deferred-DP locality probe (core/pipeline.py tpu_present).
     device_screen = None
-    from .pipeline import resolve_backend
-    if resolve_backend(opts.backend) == "tpu":
+    from .pipeline import tpu_present
+    if (opts.backend == "tpu"
+            or (opts.backend == "auto" and tpu_present())):
         from ..ops.phase_a import DeviceScreen
         device_screen = DeviceScreen.build(
             packed, kmer_length, hit_len, opts.ref_seq_similarity)

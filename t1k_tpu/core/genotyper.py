@@ -460,6 +460,33 @@ class Genotyper:
                 self.major_cnt, self.cfg.filter_frac,
                 self.cfg.min_squarem_alpha, MAX_EM_ITERATIONS,
             )
+            import jax as _jax
+            if not _jax.config.read("jax_enable_x64"):
+                # Exactness gate: TPUs have no native f64, so the device
+                # trajectory ran in f32.  Polish with the native f64
+                # SQUAREM warm-started from the device solution until the
+                # reference's own convergence criterion (diffSum < 1e-5,
+                # Genotyper.hpp:1289-1290) holds in f64 — the device does
+                # the O(hundreds) of heavy iterations, the host does the
+                # few cheap ones, and the final sufficient statistics sit
+                # at the f64 fixed point the native route converges to.
+                from ..native import em_quantify
+                ec_len = np.array(
+                    [min(int(self.allele_eff_len[a]) for a in alleles)
+                     for alleles in self.ec_to_alleles], dtype=np.float64)
+                per_len = ec_read_count / ec_len
+                norm = per_len.sum()
+                if norm > 0:
+                    polish_iters, polished = em_quantify(
+                        self.ec_to_alleles, (rg_off, rg_ecs), rg_counts,
+                        self.allele_eff_len, self.allele_missing,
+                        self.allele_weight, self.allele_gene,
+                        self.allele_major, self.gene_cnt, self.major_cnt,
+                        self.cfg.filter_frac, self.cfg.min_squarem_alpha,
+                        MAX_EM_ITERATIONS, init_x=per_len / norm,
+                    )
+                    iters += polish_iters
+                    ec_read_count = polished
         else:
             from ..native import em_quantify
             iters, ec_read_count = em_quantify(
@@ -480,9 +507,11 @@ class Genotyper:
         rounds/s at 4096 ECs x 200k read groups) but dispatch+transfer
         lose at golden-scale problems where the native f64 loop finishes
         in milliseconds — and the native path is the bit-exact oracle.
-        Routes to the device only when a TPU is present and the dense
-        incidence has >= 5e7 cells (where even f32-trajectory drift
-        cannot flip integer-rounded outputs faster than the 14x pays)."""
+        Routes to the device when a TPU is PRESENT (any attachment
+        latency: the 14x was measured through a ~25-40ms relay, so the
+        deferred-DP locality gate must not apply here) and the dense
+        incidence has >= 5e7 cells; the f64 host polish in quantify()
+        then pins the result to the native fixed point."""
         import os
 
         env = os.environ.get("T1K_EM_BACKEND", "")
@@ -501,9 +530,9 @@ class Genotyper:
         if rg_cnt * max(ec_cnt, 1) > min(DENSE_EM_MAX_ELEMS,
                                          DENSE_EM_MAX_BYTES):
             return "native"
-        from .pipeline import resolve_backend
+        from .pipeline import tpu_present
 
-        return "jax" if resolve_backend("auto") == "tpu" else "native"
+        return "jax" if tpu_present() else "native"
 
     def set_em_result(self, iters: int, ec_read_count: np.ndarray) -> int:
         """Adopt externally computed EM sufficient statistics (the cohort

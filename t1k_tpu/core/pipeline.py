@@ -87,6 +87,88 @@ def device_rtt_ms() -> float:
     return _rtt_cache
 
 
+def _probe_device(rtt_limit_ms: Optional[float]) -> bool:
+    """Subprocess probe of the attached accelerator, with retry/backoff.
+
+    Asserts a TPU platform and one completed tiny transfer; when
+    `rtt_limit_ms` is given, additionally that the median round trip is
+    under the limit.  The probe runs in a SUBPROCESS: a wedged remote
+    accelerator can hang jax backend init indefinitely, and routing
+    must degrade rather than hang the pipeline (a hung in-process probe
+    thread also crashes at interpreter exit).  Two attempts with a
+    doubled timeout on the second: per-session device setup through a
+    relay is occasionally slow (~100s observed) and a single short
+    timeout used to misreport the chip as absent for the whole run."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    probe_src = (
+        "import jax\n"
+        "d = jax.devices()[0]\n"
+        "assert d.platform == 'tpu'\n"
+        "import numpy as np, time\n"
+        "x = np.zeros(8, np.int32)\n"
+        "np.asarray(jax.device_put(x))\n"  # setup cost outside the timing
+        "s = []\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    np.asarray(jax.device_put(x))\n"
+        "    s.append((time.perf_counter() - t0) * 1e3)\n"
+    )
+    if rtt_limit_ms is not None:
+        probe_src += f"assert sorted(s)[1] <= {float(rtt_limit_ms)}\n"
+    base = float(os.environ.get("T1K_TPU_PROBE_TIMEOUT_S", "20"))
+    for attempt, timeout in enumerate((base, 2 * base)):
+        try:
+            rc = subprocess.run(
+                [_sys.executable, "-c", probe_src],
+                timeout=timeout, capture_output=True).returncode
+            return rc == 0
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                log(f"TPU probe timed out after {timeout:.0f}s; retrying "
+                    f"once with {2 * timeout:.0f}s.")
+    log("TPU probe timed out; treating the device as unreachable.")
+    return False
+
+
+def _platform_env_pins_cpu() -> bool:
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    return plats.split(",")[0].strip().lower() == "cpu"
+
+
+def tpu_present() -> bool:
+    """Is a TPU attached and answering, at ANY latency?
+
+    This is the routing predicate for the bulk-compute stages — EM at
+    scale, the extraction prefilter, cohort EM — whose device wins were
+    measured THROUGH a ~25-40ms relay (benchmarks/em_iters.py: 129.7 vs
+    9.3 SQUAREM rounds/s = 14x a host core; device screen 3.7x; cohort
+    EM 5.4x).  It is deliberately independent of resolve_backend()'s
+    locality gate: that gate protects only the latency-sensitive
+    deferred-DP offload, which pays a round trip per chunk.  Bulk
+    stages ship MBs once and iterate device-side, so presence is the
+    right test.  T1K_BACKEND=native still forces everything off the
+    device; the verdict is cached in the environment so child workers
+    skip the probe."""
+    import os
+
+    env = os.environ.get("T1K_BACKEND", "")
+    if env in ("native", "tpu"):
+        return env == "tpu"
+    cached = os.environ.get("T1K_TPU_PRESENT", "")
+    if cached in ("0", "1"):
+        return cached == "1"
+    if _platform_env_pins_cpu():
+        return False
+    present = _probe_device(rtt_limit_ms=None)
+    os.environ["T1K_TPU_PRESENT"] = "1" if present else "0"
+    return present
+
+
 def resolve_backend(backend: str) -> str:
     """Resolve "auto" for the alignment/DP stages.
 
@@ -98,16 +180,21 @@ def resolve_backend(backend: str) -> str:
     per-chunk round trips against a ~16s host engine — measured 5-15x
     slower end-to-end on the HLA-scale benchmark — so "auto" keeps the
     assignment stage on the bit-exact native engine there.  The stages
-    where the chip wins regardless of attachment (EM at scale, cohort
-    EM) are routed separately; T1K_BACKEND=tpu forces the device path
-    everywhere (byte-identical outputs either way).
+    where the chip wins regardless of attachment (EM at scale, the
+    extraction prefilter, cohort EM) route on tpu_present() instead;
+    T1K_BACKEND=tpu forces the device path everywhere (byte-identical
+    outputs either way).
 
     Env overrides are consulted BEFORE importing jax: T1K_BACKEND picks
     the backend outright, and a JAX_PLATFORMS routing that leads with
     "cpu" resolves to native without initializing any backend — probing
     jax.devices() here can block indefinitely on a wedged remote
     accelerator, and spawned worker processes (tools/smartseq.py pool)
-    inherit the env but not the parent's jax.config platform pin."""
+    inherit the env but not the parent's jax.config platform pin.  The
+    resolved verdict is cached in T1K_BACKEND_RESOLVED (NOT
+    T1K_BACKEND: overwriting the user-facing variable used to also
+    force the presence-routed stages off the device whenever the
+    locality probe failed)."""
     if backend != "auto":
         return backend
     import os
@@ -115,41 +202,14 @@ def resolve_backend(backend: str) -> str:
     env = os.environ.get("T1K_BACKEND", "")
     if env in ("native", "tpu"):
         return env
-    plats = os.environ.get("JAX_PLATFORMS", "")
-    if plats.split(",")[0].strip().lower() == "cpu":
+    cached = os.environ.get("T1K_BACKEND_RESOLVED", "")
+    if cached in ("native", "tpu"):
+        return cached
+    if _platform_env_pins_cpu():
         return "native"
-    # Backend init + the RTT probe run in a SUBPROCESS: a wedged remote
-    # accelerator can hang jax backend init indefinitely, and "auto"
-    # must degrade to the native engine rather than hang the pipeline
-    # (a hung in-process probe thread also crashes at interpreter exit).
-    # The verdict is cached in the environment so child workers skip it.
-    import subprocess
-    import sys as _sys
-
-    limit = os.environ.get("T1K_TPU_RTT_MS", "10")
-    probe_src = (
-        "import jax\n"
-        "d = jax.devices()[0]\n"
-        "assert d.platform == 'tpu'\n"
-        "import numpy as np, time\n"
-        "x = np.zeros(8, np.int32)\n"
-        "s = []\n"
-        "for _ in range(3):\n"
-        "    t0 = time.perf_counter()\n"
-        "    np.asarray(jax.device_put(x))\n"
-        "    s.append((time.perf_counter() - t0) * 1e3)\n"
-        f"assert sorted(s)[1] <= {float(limit)}\n"
-    )
-    try:
-        rc = subprocess.run(
-            [_sys.executable, "-c", probe_src],
-            timeout=float(os.environ.get("T1K_TPU_PROBE_TIMEOUT_S", "20")),
-            capture_output=True).returncode
-        resolved = "tpu" if rc == 0 else "native"
-    except subprocess.TimeoutExpired:
-        log("TPU probe timed out; using the native backend.")
-        resolved = "native"
-    os.environ["T1K_BACKEND"] = resolved
+    limit = float(os.environ.get("T1K_TPU_RTT_MS", "10"))
+    resolved = "tpu" if _probe_device(rtt_limit_ms=limit) else "native"
+    os.environ["T1K_BACKEND_RESOLVED"] = resolved
     return resolved
 
 

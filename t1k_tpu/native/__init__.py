@@ -122,7 +122,7 @@ _lib.t1k_em_quantify.argtypes = [
     ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
     _c_i64p, _c_i32p, _c_i64p, _c_i32p, _c_f64p,
     _c_i32p, _c_i32p, _c_i32p, _c_i32p, _c_i32p,
-    ct.c_double, ct.c_double, ct.c_int32, _c_f64p,
+    ct.c_double, ct.c_double, ct.c_int32, _c_f64p, ct.c_void_p,
 ]
 
 # Result record layout produced by t1k_assign_batch.
@@ -489,8 +489,12 @@ def em_quantify(
     filter_frac: float = 0.15,
     min_squarem_alpha: float = 0.0,
     max_iterations: int = 1000,
+    init_x: Optional[np.ndarray] = None,
 ) -> Tuple[int, np.ndarray]:
-    """Run the exact EM; returns (iterations, ec_read_count f64)."""
+    """Run the exact EM; returns (iterations, ec_read_count f64).
+    `init_x` warm-starts the abundance vector (the f64 polish of a
+    device-f32 EM solution); default is the allele-weight init the
+    reference uses (Genotyper.hpp:1214-1232)."""
     ec_cnt = len(ec_to_alleles)
     ec_off = np.zeros(ec_cnt + 1, dtype=np.int64)
     for i, lst in enumerate(ec_to_alleles):
@@ -512,6 +516,9 @@ def em_quantify(
         np.ascontiguousarray(allele_gene, dtype=np.int32),
         np.ascontiguousarray(allele_major, dtype=np.int32),
         filter_frac, min_squarem_alpha, max_iterations, out,
+        (None if init_x is None else
+         np.ascontiguousarray(init_x, dtype=np.float64)
+         .ctypes.data_as(ct.c_void_p)),
     )
     return iters, out
 

@@ -31,6 +31,10 @@ extern "C" {
 //   allele_weight             per allele duplicate-sequence weight
 //   allele_gene/allele_major  per allele gene / major-allele id
 //   out_ec_read_count         [ec_cnt] final expected read counts
+//   init_x                    optional [ec_cnt] warm-start abundances
+//                             (normalized); NULL = allele-weight init.
+//                             Used by the f64 polish after a device-f32
+//                             EM run (core/genotyper.py quantify).
 int32_t t1k_em_quantify(
     int32_t ec_cnt, int32_t allele_cnt, int32_t gene_cnt, int32_t major_cnt,
     int64_t rg_cnt, const int64_t* ec_offsets, const int32_t* ec_alleles,
@@ -38,7 +42,8 @@ int32_t t1k_em_quantify(
     const int32_t* allele_eff_len, const int32_t* allele_missing,
     const int32_t* allele_weight, const int32_t* allele_gene,
     const int32_t* allele_major, double filter_frac, double min_squarem_alpha,
-    int32_t max_iterations, double* out_ec_read_count) {
+    int32_t max_iterations, double* out_ec_read_count,
+    const double* init_x) {
   if (ec_cnt == 0) return 0;
 
   // Per-EC info: min effective length and min missing coverage.
@@ -61,11 +66,15 @@ int32_t t1k_em_quantify(
   std::vector<double> alleleAbund(allele_cnt), alleleEcAbund(allele_cnt);
   std::vector<double> majorAbund(major_cnt), geneMax(gene_cnt);
 
-  for (int i = 0; i < ec_cnt; ++i) {
-    double w = 0;
-    for (int64_t j = ec_offsets[i]; j < ec_offsets[i + 1]; ++j)
-      w += allele_weight[ec_alleles[j]];
-    x0[i] = w;
+  if (init_x) {
+    for (int i = 0; i < ec_cnt; ++i) x0[i] = init_x[i];
+  } else {
+    for (int i = 0; i < ec_cnt; ++i) {
+      double w = 0;
+      for (int64_t j = ec_offsets[i]; j < ec_offsets[i + 1]; ++j)
+        w += allele_weight[ec_alleles[j]];
+      x0[i] = w;
+    }
   }
 
   auto emUpdate = [&](const double* in, double* out) -> double {
