@@ -122,6 +122,135 @@ def partition_read_groups(seg_rg: np.ndarray, seg_ec: np.ndarray,
             out_rgs, out_rge, out_ecs, out_ece)
 
 
+def em_quantify_sharded_squarem(
+    mesh: Mesh,
+    seg_rg: np.ndarray,
+    seg_ec: np.ndarray,
+    counts: np.ndarray,
+    rg_cnt: int,
+    ec_to_alleles,
+    allele_eff_len: np.ndarray,
+    allele_weight: np.ndarray,
+    allele_gene: np.ndarray,
+    allele_major: np.ndarray,
+    gene_cnt: int,
+    major_cnt: int,
+    filter_frac: float = 0.15,
+    min_squarem_alpha: float = 0.0,
+    max_iterations: int = 1000,
+    axis: str = "dp",
+    dtype=None,
+):
+    """The PRODUCTION multi-chip quantification: the full SQUAREM loop —
+    3 EM updates + extrapolation per round, L1 convergence at 1e-5 with
+    one forced extra round, and the every-10-rounds low-abundance
+    major-allele mask (reference semantics, Genotyper.hpp:1234-1314) —
+    with the incidence sharded over the mesh on whole-read-group
+    boundaries and ONE psum of per-EC expected counts per EM update
+    (the only collective).  This is the step dryrun_multichip compiles
+    and a pod driver would run; trajectory matches the single-device
+    device EM (ops/em.py) and the native f64 loop's iteration count
+    (tests/test_device_ops.py::test_sharded_squarem_matches_native).
+
+    Rounds are advanced by a host loop with one shard_mapped jitted
+    round per step: a psum inside a device-side while_loop deadlocks on
+    the virtual CPU mesh used for dry runs, and the per-round dispatch
+    is dwarfed by the E-step work on real hardware.  Returns
+    (iterations, ec_read_count[f64])."""
+    import jax.numpy as jnp
+
+    from ..ops.em import (_make_mask_reset, _pack_ec_tables, segment_bounds,
+                          sorted_segment_sum)
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    n = mesh.devices.size
+    ec_cnt = len(ec_to_alleles)
+    (ec_len, ec_size, ec_first, allele_ec, allele_valid, init_x) = (
+        _pack_ec_tables(ec_to_alleles, allele_eff_len, allele_weight))
+    (_, sec, _, secs_sorted, srgo, ctso, srgs, srge, secs, sece) = (
+        partition_read_groups(seg_rg, seg_ec,
+                              np.asarray(counts, np.float64)[seg_rg]
+                              if counts.shape == (rg_cnt,) else counts,
+                              rg_cnt, n, ec_cnt=ec_cnt))
+
+    mask_reset = _make_mask_reset(
+        jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
+        jnp.asarray(ec_first), jnp.asarray(allele_ec),
+        jnp.asarray(allele_valid), jnp.asarray(allele_gene, jnp.int32),
+        jnp.asarray(allele_major, jnp.int32), gene_cnt, major_cnt,
+        float(filter_frac))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(),
+                  P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+                  P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def round_step(t, x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
+                   ece_s, ec_len_r):
+        sec_f = sec_s.reshape(-1)          # EC ids in read-group order
+        secs_f = secs_s.reshape(-1)        # EC ids in EC-sorted order
+        srgo_f = srgo_s.reshape(-1)        # read-group id per EC-sorted entry
+        ctso_f = ctso_s.reshape(-1)
+        rgs_f, rge_f = rgs_s.reshape(-1), rge_s.reshape(-1)
+        ecs_f, ece_f = ecs_s.reshape(-1), ece_s.reshape(-1)
+
+        def em_update(xk):
+            # E-step: per-read-group normalizers are shard-local (whole
+            # groups per shard); per-EC counts merge with the psum
+            psum_rg = sorted_segment_sum(xk[sec_f], rgs_f, rge_f)
+            psum_rg = jnp.where(psum_rg == 0, 1, psum_rg)
+            contrib = ctso_f * xk[secs_f] / psum_rg[srgo_f]
+            local = sorted_segment_sum(contrib, ecs_f, ece_f)
+            count = jax.lax.psum(local, axis)
+            per_len = count / ec_len_r
+            x1 = per_len / per_len.sum()
+            return x1, count
+
+        # one SQUAREM round (Genotyper.hpp:1234-1290)
+        x1, _ = em_update(x)
+        x2, _ = em_update(x1)
+        r = x1 - x
+        v = x2 - 2 * x1 + x
+        sum_r = (r * r).sum()
+        sum_v = (v * v).sum()
+        alpha = jnp.where(sum_v == 0, -1.0,
+                          -jnp.sqrt(sum_r) / jnp.sqrt(jnp.where(sum_v == 0, 1,
+                                                                sum_v)))
+        alpha = jnp.where(
+            (min_squarem_alpha < 0) & (alpha < min_squarem_alpha),
+            min_squarem_alpha, alpha)
+        x3 = x - 2 * alpha * r + alpha * alpha * v
+        x1b, count = em_update(x3)
+        diff = jnp.abs(x1b - x).sum()
+        t = jnp.where((diff < 1e-5) & (t < max_iterations - 2),
+                      max_iterations - 2, t)
+        do_mask = (t > 0) & (t % 10 == 0)
+        x_next = jnp.where(do_mask, mask_reset(count), x1b)
+        return t + 1, x_next, count
+
+    round_step = jax.jit(round_step)
+    shard2 = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+    args = tuple(
+        jax.device_put(jnp.asarray(a), shard2)
+        for a in (sec, secs_sorted, srgo, ctso.astype(np.float64), srgs,
+                  srge, secs, sece))
+    ec_len_d = jax.device_put(jnp.asarray(ec_len, dtype), repl)
+    x = jax.device_put(jnp.asarray(init_x, dtype), repl)
+    t = jax.device_put(jnp.zeros((), jnp.int32), repl)
+    count = None
+    iters = 0
+    while int(t) < max_iterations:
+        t, x, count = round_step(t, x, *args, ec_len_d)
+        iters += 1
+    return iters, np.asarray(count, np.float64)
+
+
 def em_quantify_sharded(
     mesh: Mesh,
     seg_rg: np.ndarray,

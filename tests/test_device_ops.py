@@ -162,6 +162,35 @@ def test_sharded_em_multichip():
     np.testing.assert_allclose(x_sharded, x_single, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_squarem_matches_native():
+    """The PRODUCTION sharded quantification (full SQUAREM + convergence
+    + 10-round masking + psum, parallel/mesh.py — what dryrun_multichip
+    compiles) follows the native f64 oracle's trajectory: same iteration
+    count, counts to float tolerance, on an 8-device CPU mesh."""
+    import jax
+
+    from t1k_tpu.native import em_quantify
+    from t1k_tpu.parallel.mesh import data_mesh, em_quantify_sharded_squarem
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    args = _em_inputs()
+    it_native, count_native = em_quantify(**args)
+
+    rg_off, rg_ecs = args["rg_ecs_csr"]
+    rg_cnt = len(args["rg_counts"])
+    seg_rg = np.repeat(np.arange(rg_cnt), np.diff(rg_off)).astype(np.int32)
+    it_sharded, count_sharded = em_quantify_sharded_squarem(
+        data_mesh(8), seg_rg, np.asarray(rg_ecs, np.int32),
+        np.asarray(args["rg_counts"], np.float64), rg_cnt,
+        args["ec_to_alleles"], args["allele_eff_len"],
+        args["allele_weight"], args["allele_gene"], args["allele_major"],
+        args["n_genes"], args["n_majors"])
+    assert it_sharded == it_native
+    np.testing.assert_allclose(count_sharded, count_native,
+                               rtol=2e-3, atol=1e-3)
+
+
 def test_band_pallas_interpret_matches():
     from t1k_tpu.ops.align_pallas_band import banded_scores_band
 
