@@ -141,6 +141,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.makedirs(args.outdir, exist_ok=True)
         prefix = os.path.join(args.outdir, prefix)
 
+    # Multi-process distributed execution (SURVEY.md section 2.4 row 1:
+    # read-level data parallelism over hosts).  Launch N identical
+    # processes of this CLI with T1K_NUM_PROCESSES=N and
+    # T1K_PROCESS_ID=0..N-1 sharing the output directory: extraction
+    # and post-analysis run on process 0; the genotyper's per-host
+    # stage (assignment + fragment pairing on a contiguous fragment
+    # shard) runs on every process, shards exchange as files, process 0
+    # merges in process order — byte-identical to a single-process run
+    # at any N (parallel/distributed.py).
+    nproc = int(os.environ.get("T1K_NUM_PROCESSES", "1"))
+    pid = int(os.environ.get("T1K_PROCESS_ID", "0"))
+    if nproc > 1 and (args.barcode or args.outputReadAssignment
+                      or args.alleleWhitelist):
+        print("Distributed mode covers the standard paired/single flow; "
+              "barcode, whitelist and per-read-assignment outputs run "
+              "single-process (or per-cell, tools/smartseq.py).",
+              file=sys.stderr)
+        return 1
+
     # serialize the resolved configuration next to the outputs
     from ..config import PipelineConfig
     cfg = PipelineConfig(
@@ -159,14 +178,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         skip_post_analysis=args.skipPostAnalysis,
         preset=args.preset, stage=args.stage,
     )
-    cfg.save(f"{prefix}_config.json")
+    if pid == 0:  # one writer when running distributed
+        cfg.save(f"{prefix}_config.json")
 
     cand1 = f"{prefix}_candidate_1.fq"
     cand2 = f"{prefix}_candidate_2.fq"
     cand = f"{prefix}_candidate.fq"
 
     # ---------------------------------------------------------- stage 0
-    if args.stage <= 0 and not args.noExtraction:
+    if nproc > 1 and pid > 0 and args.stage <= 0 and not args.noExtraction:
+        # workers wait for process 0's extraction (file-boundary barrier)
+        from ..parallel.distributed import wait_for_files
+        wait_for_files([f"{prefix}_extract.done"])
+    elif args.stage <= 0 and not args.noExtraction:
         eopts = ExtractorOptions(
             ref_seq_similarity=extract_sim,
             threads=args.threads,
@@ -200,6 +224,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 interleaved=bool(args.interleaved),
             )
             log("Finish extracting reads.")
+        if nproc > 1 and pid == 0:
+            with open(f"{prefix}_extract.done", "w") as f:
+                f.write("done\n")
 
     # determine candidate files
     if not args.noExtraction:
@@ -240,7 +267,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             backend=args.backend,
             em_backend=args.emBackend,
         )
-        run_genotyper(args.ref, files1, files2, prefix, gopts)
+        if nproc > 1:
+            from ..parallel.distributed import (merge_shards_and_finish,
+                                                wait_for_files,
+                                                worker_shard_to_file)
+            shard = f"{prefix}_dshard_{pid}.npz"
+            worker_shard_to_file(args.ref, files1, files2, gopts, pid,
+                                 nproc, shard)
+            if pid != 0:
+                log(f"Distributed worker {pid} finished; process 0 "
+                    "merges and writes outputs.")
+                return 0
+            shards = [f"{prefix}_dshard_{p}.npz" for p in range(nproc)]
+            wait_for_files(shards)
+            merge_shards_and_finish(args.ref, files1, files2, prefix,
+                                    gopts, shards)
+        else:
+            run_genotyper(args.ref, files1, files2, prefix, gopts)
+
+    if nproc > 1 and pid != 0:
+        # post-analysis is process-0 work (tiny; operates on the merged
+        # outputs) — reached only when staging skipped the genotype step
+        return 0
 
     # ---------------------------------------------------------- stage 2
     if args.stage <= 2 and not args.skipPostAnalysis:

@@ -96,6 +96,51 @@ def test_distributed_matches_single_host(workers, tmp_path):
         assert got == want, f"distributed {suffix} differs"
 
 
+def test_distributed_cli_two_processes(tmp_path):
+    """An N-process run of the full driver CLI (T1K_NUM_PROCESSES /
+    T1K_PROCESS_ID env, real processes, file-based shard exchange) is
+    byte-identical to the single-process chain — the CLI surface of
+    parallel/distributed.py (SURVEY.md section 2.4 row 1)."""
+    import subprocess
+    import sys
+
+    ref = CASES["rna"]["ref"]
+    if not os.path.exists(ref):
+        pytest.skip("reference database not available")
+    p1 = os.path.join(DATA_DIR, "rna_1.fq")
+    p2 = os.path.join(DATA_DIR, "rna_2.fq")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(nproc, outdir):
+        os.makedirs(outdir, exist_ok=True)
+        procs = []
+        for pid in range(nproc):
+            env = dict(os.environ)
+            env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
+            if nproc > 1:
+                env.update({"T1K_NUM_PROCESSES": str(nproc),
+                            "T1K_PROCESS_ID": str(pid)})
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "t1k_tpu.cli.run", "-f", ref,
+                 "-1", p1, "-2", p2, "--od", outdir, "-o", "chain",
+                 "-t", "1"],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()[-4000:]
+
+    run(2, str(tmp_path / "dist"))
+    run(1, str(tmp_path / "single"))
+    for suffix in ("_genotype.tsv", "_allele.tsv", "_allele.vcf",
+                   "_aligned_1.fa", "_aligned_2.fa"):
+        with open(tmp_path / "dist" / f"chain{suffix}") as f:
+            got = f.read()
+        with open(tmp_path / "single" / f"chain{suffix}") as f:
+            want = f.read()
+        assert got == want, f"distributed CLI {suffix} differs"
+
+
 def test_thread_count_invariance(tmp_path):
     """Race check: the multi-threaded engine must be byte-deterministic
     and identical to single-threaded output (reference contiguous-shard
