@@ -29,6 +29,8 @@ _jaxcache.enable()
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.aot import aot_jit
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -256,7 +258,7 @@ def _band_stats_call(tl, plen, t_pad, p_pad, G: int, ML: int, Lp: int,
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("G", "ML", "Lp", "Lt", "Lt_pad", "Lp_pad", "nblocks",
                      "stats", "interpret", "W"))
 def _band_grid(t_codes, t_lens, p_codes, p_lens, G: int, ML: int, Lp: int,
@@ -449,7 +451,7 @@ _DESC_BUCKETS_INTERPRET = (16, 32, 48, 64, 96, 128, 256)
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("Lb", "ML", "W", "nblocks", "G", "interpret"))
 def _desc_stats_call(ref_pad, reads_pad, t_off, t_len, p_off, p_len,
                      Lb: int, ML: int, W: int, nblocks: int, G: int = 8,

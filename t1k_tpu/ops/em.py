@@ -26,6 +26,8 @@ _jaxcache.enable()
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.aot import aot_jit
 import numpy as np
 
 
@@ -33,7 +35,7 @@ def _segment_sum(data, seg, n):
     return jax.ops.segment_sum(data, seg, num_segments=n)
 
 
-@functools.partial(jax.jit, static_argnames=("rg_cnt", "ec_cnt", "dtype"))
+@functools.partial(aot_jit, static_argnames=("rg_cnt", "ec_cnt", "dtype"))
 def _build_incidence(seg_rg, seg_ec, rg_cnt: int, ec_cnt: int,
                      dtype=jnp.int8):
     """0/1 [rg_cnt, ec_cnt] incidence built on device: a one-time
@@ -99,7 +101,7 @@ def sorted_segment_sum(vals, starts, ends):
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ec_cnt", "rg_cnt", "gene_cnt", "major_cnt",
                      "max_iterations", "mask_round"))
 def _em_loop(
@@ -205,7 +207,7 @@ def _squarem_while(em_update, mask_reset, init_x, min_squarem_alpha,
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ec_cnt", "gene_cnt", "major_cnt", "max_iterations",
                      "mask_round"))
 def _em_loop_dense(
@@ -351,7 +353,7 @@ def em_quantify_jax(
 # collective is the all-reduce implied by the loop condition.
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("ec_cnt", "gene_cnt", "major_cnt", "max_iterations",
                      "mask_round"))
 def _em_loop_dense_batched(

@@ -28,6 +28,8 @@ _jaxcache.enable()
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.aot import aot_jit
 import numpy as np
 
 _EMPTY = np.uint32(0xFFFFFFFF)
@@ -105,7 +107,7 @@ def _rolling_codes(codes: jnp.ndarray, k: int):
     return acc, ~invalid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "size", "max_probe"))
+@functools.partial(aot_jit, static_argnames=("k", "size", "max_probe"))
 def _classify(codes, lens, table, k: int, size: int, max_probe: int = 6):
     """Count index-matching windows per read on both strands.
 
@@ -139,7 +141,7 @@ def _classify(codes, lens, table, k: int, size: int, max_probe: int = 6):
     return _strand_counts(codes, lens, lookup, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(aot_jit, static_argnames=("k",))
 def _classify_direct(codes, lens, bitmap, k: int):
     """Direct-addressed membership: one bitmap-word gather per window,
     exact counts (the fast path for k <= 14; see DeviceKmerTable)."""

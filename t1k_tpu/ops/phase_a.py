@@ -62,6 +62,8 @@ _jaxcache.enable()
 import jax
 import jax.numpy as jnp
 
+from ..utils.aot import aot_jit
+
 I32MAX = np.int32(np.iinfo(np.int32).max)
 I32MIN = np.int32(np.iinfo(np.int32).min)
 _DIRECT_MAX_K = 12      # 4^12+1 int32 CSR offsets = 64MB HBM
@@ -315,7 +317,7 @@ def _segment_reduce(values, seg_ids, num, op="sum"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "direct", "hsize", "max_probe"))
+    aot_jit, static_argnames=("k", "direct", "hsize", "max_probe"))
 def _probe_kernel(codes, lens, starts, keys, hstart, hcount,
                   k: int, direct: bool, hsize: int, max_probe: int):
     """Windows, CSR lookups and the probe dedup/skip scan.
@@ -354,7 +356,7 @@ def _fill_last(flag, val, fill=0):
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("k", "n_seqs", "radius", "hit_len_required",
                      "cap", "bucket_cap"))
 def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,

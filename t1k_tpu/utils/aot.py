@@ -1,0 +1,168 @@
+"""Deterministic ahead-of-time executable store for the hot kernels.
+
+JAX's persistent compilation cache misses for Pallas kernels on this
+toolchain: the cache key is nondeterministic across processes (same
+script, same canonical shapes, fresh ~222KB entry in most runs — the
+canonical textual IR is bit-identical, so the nondeterminism sits below
+it, in bytecode serialization).  Through a relay-attached TPU that
+turns into 20-200s of per-session kernel compiles.
+
+This store fixes the key by construction: the cache key is the sha256
+of the function's OWN canonical lowered StableHLO text (exactly what
+XLA compiles — covering shapes, dtypes, statics and constants) plus the
+jax version and device kind.  The value is the serialized compiled
+executable (jax.experimental.serialize_executable, which embeds the
+Mosaic kernel binary); a fresh process deserializes and dispatches in
+well under a second (measured 0.9s import-to-result on the relay rig vs
+20-200s compiling).
+
+Usage — a drop-in for jax.jit on the hot entry points:
+
+    @functools.partial(aot_jit, static_argnames=("k", "cap"))
+    def kernel(x, y, *, k, cap): ...
+
+Tracing/lowering still happens per process per call signature (cheap —
+milliseconds); only the compile is skipped.  The store is inert off-TPU
+(CPU compiles are fast and CPU executables are machine-specific) and
+can be disabled with T1K_AOT=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import pickle
+from typing import Any, Dict
+
+_loaded: Dict[str, Any] = {}
+
+
+def store_dir() -> str:
+    return os.environ.get("T1K_AOT_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "t1k_tpu", "aot")
+
+
+def _active() -> bool:
+    if os.environ.get("T1K_AOT", "1") == "0":
+        return False
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats.split(",")[0].strip().lower() == "cpu":
+        return False
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _key_for(lowered) -> str:
+    import jax
+
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    d = jax.devices()[0]
+    h.update(f"{d.platform}/{getattr(d, 'device_kind', '?')}".encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()
+
+
+def _load(key: str):
+    if key in _loaded:
+        return _loaded[key]
+    path = os.path.join(store_dir(), key)
+    if not os.path.exists(path):
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+        _loaded[key] = compiled
+        return compiled
+    except Exception:
+        return None  # corrupt/incompatible entry: fall through to compile
+
+
+def _save(key: str, compiled) -> None:
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(store_dir(), exist_ok=True)
+        tmp = os.path.join(store_dir(), f".{key}.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, os.path.join(store_dir(), key))
+    except Exception:
+        pass  # the store is an optimization; never fail a run over it
+
+
+class _AotFunction:
+    def __init__(self, fn, **jit_kwargs):
+        import inspect
+
+        self._jit = None
+        self._fn = fn
+        self._jit_kwargs = jit_kwargs
+        self._static = tuple(jit_kwargs.get("static_argnames", ()) or ())
+        params = list(inspect.signature(fn).parameters)
+        # a Compiled executable is called with the non-static arguments
+        # only; statics may arrive positionally (jit resolves names to
+        # positions via the signature — mirror that here)
+        self._static_pos = {params.index(n) for n in self._static
+                            if n in params}
+        self._compiled: Dict[Any, Any] = {}
+        functools.update_wrapper(self, fn)
+
+    def _get_jit(self):
+        if self._jit is None:
+            import jax
+
+            self._jit = jax.jit(self._fn, **self._jit_kwargs)
+        return self._jit
+
+    def _sig(self, args, kwargs):
+        def aval(a):
+            shape = getattr(a, "shape", None)
+            if shape is None:
+                return ("py", a)
+            return (str(getattr(a, "dtype", "?")), tuple(shape))
+
+        return (tuple(aval(a) for a in args),
+                tuple(sorted((k, kwargs[k] if k in self._static
+                              else aval(kwargs[k]))
+                             for k in kwargs)))
+
+    def __call__(self, *args, **kwargs):
+        jitted = self._get_jit()
+        if not _active():
+            return jitted(*args, **kwargs)
+        sig = self._sig(args, kwargs)
+        compiled = self._compiled.get(sig)
+        if compiled is None:
+            lowered = jitted.lower(*args, **kwargs)
+            key = _key_for(lowered)
+            compiled = _load(key)
+            if compiled is None:
+                compiled = lowered.compile()
+                _save(key, compiled)
+            self._compiled[sig] = compiled
+        call_args = [a for i, a in enumerate(args)
+                     if i not in self._static_pos]
+        call_kwargs = {k: v for k, v in kwargs.items()
+                       if k not in self._static}
+        return compiled(*call_args, **call_kwargs)
+
+
+def aot_jit(fn=None, **jit_kwargs):
+    """jax.jit with the deterministic executable store in front.
+
+    Accepts the jit kwargs the kernels use (static_argnames,
+    donate_argnums).  Off-TPU (or with T1K_AOT=0) behaves exactly like
+    jax.jit."""
+    if fn is None:
+        return lambda f: _AotFunction(f, **jit_kwargs)
+    return _AotFunction(fn, **jit_kwargs)
