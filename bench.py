@@ -66,9 +66,11 @@ def run_device_bench(script: str, args=()):
     Returns the benchmark's parsed JSON line(s), or a machine-readable
     {"status": "timeout"|"error", ...} marker — never raises."""
     cmd = [sys.executable, os.path.join(ROOT, "benchmarks", script)] + list(args)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     try:
         p = subprocess.run(cmd, timeout=DEV_TIMEOUT_S, capture_output=True,
-                           text=True)
+                           text=True, env=env)
     except subprocess.TimeoutExpired:
         return {"status": "timeout", "timeout_s": DEV_TIMEOUT_S}
     lines = []

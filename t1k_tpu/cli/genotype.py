@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="alignment backend; auto = tpu when an "
                          "accelerator is present, else native "
                          "(byte-identical either way)")
+    ap.add_argument("--deviceCandidates", dest="deviceCandidates",
+                    action="store_true",
+                    help="phase-A-lite: device-pruned candidate buckets for "
+                         "the assignment stage (byte-identical; wins on "
+                         "locally attached TPUs)")
     ap.add_argument("--emBackend", dest="emBackend", default="auto",
                     choices=["auto", "native", "jax"],
                     help="EM implementation: native f64 (byte-exact), "
@@ -80,6 +85,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         output_read_assignment=args.outputReadAssignment,
         threads=args.threads, backend=args.backend,
         em_backend=args.emBackend,
+        device_candidates=args.deviceCandidates,
     )
     if args.interleaved:
         from ..io.reads import read_seq_files, write_fastq

@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "native", "tpu"],
                     help="alignment compute backend; auto = tpu when an "
                          "accelerator is present (byte-identical)")
+    ap.add_argument("--deviceCandidates", dest="deviceCandidates",
+                    action="store_true",
+                    help="phase-A-lite: device-pruned candidate buckets for "
+                         "the assignment stage (byte-identical; wins on "
+                         "locally attached TPUs)")
     ap.add_argument("--emBackend", dest="emBackend", default="auto",
                     choices=["auto", "native", "jax"],
                     help="EM implementation: native f64 (byte-exact), "
@@ -266,6 +271,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             threads=args.threads,
             backend=args.backend,
             em_backend=args.emBackend,
+            device_candidates=args.deviceCandidates,
         )
         if nproc > 1:
             from ..parallel.distributed import (merge_shards_and_finish,

@@ -58,6 +58,15 @@ class GenotypeOptions:
     backend: str = "auto"
     defer_chunk: int = 8192  # tpu backend: reads per deferred-DP cycle
     em_backend: str = "auto"
+    # Phase-A-lite: the device pre-computes each read's surviving
+    # candidate (strand, seq) buckets (ops/phase_a.py DeviceCandidates,
+    # exact pre-DP chain filters) and the host engine skips hit
+    # collection for pruned buckets — byte-identical by construction
+    # (parity-tested against the engine's overlap-bucket oracle).  Off
+    # by default: on a relay-attached chip the keep-set transfer costs
+    # more than the pruned host work (docs/tpu_pipeline.md crossover
+    # analysis); enable on locally-attached TPUs.
+    device_candidates: bool = False
 
 
 _rtt_cache: Optional[float] = None
@@ -232,6 +241,7 @@ def assign_unique_reads(
     engine, seqs: List[str], zero_weights: bool = False,
     dp_backend: str = "native", dp_interpret: bool = False,
     store_results: bool = True, defer_chunk: int = 0,
+    device_candidates=None,
 ) -> Tuple[List[str], np.ndarray, np.ndarray, np.ndarray]:
     """Group identical read sequences; run the engine once per unique
     sequence with the group size as the coverage weight
@@ -267,6 +277,17 @@ def assign_unique_reads(
     if len(lens):
         starts[1:] = np.cumsum(lens[:-1])
     w = np.array(weights, dtype=np.int32)
+    if device_candidates is not None and len(uniq):
+        # phase-A-lite: device computes the surviving candidate buckets
+        # (exact pre-DP chain filters); the engine skips the rest
+        L = int(lens.max())
+        padded = np.full((len(uniq), L), 4, dtype=np.int8)
+        for i in range(len(uniq)):
+            padded[i, :lens[i]] = codes[starts[i]:starts[i] + lens[i]]
+        c_reads, c_seqs, c_strands, undecided = device_candidates.generate(
+            padded, lens)
+        engine.set_candidates(len(uniq), c_reads, c_seqs, c_strands,
+                              undecided)
     if dp_backend == "tpu":
         import jax
 
@@ -284,6 +305,8 @@ def assign_unique_reads(
     else:
         rec, off = engine.assign_batch(codes, starts, lens, w,
                                        store_results=store_results)
+    if device_candidates is not None and len(uniq):
+        engine.set_candidates(0, None, None, None, None)  # clear
     return uniq, group_of, rec, off
 
 
@@ -400,10 +423,16 @@ def prepare_genotyper(
 
     log(f"Found {read_cnt} read fragments. Start read assignment.")
     all_seqs = seqs1 + seqs2
+    dev_cand = None
+    if opts.device_candidates:
+        from ..ops.phase_a import DeviceCandidates
+        dev_cand = DeviceCandidates.build(
+            packed, GENOTYPER_KMER_LENGTH, engine.hit_len_required)
     with stage("read_assignment") as ctx:
         uniq, group_of, rec, off = assign_unique_reads(
             engine, all_seqs, dp_backend=resolve_backend(opts.backend),
-            store_results=False, defer_chunk=opts.defer_chunk)
+            store_results=False, defer_chunk=opts.defer_chunk,
+            device_candidates=dev_cand)
         ctx["read_count"] = len(all_seqs)
         ctx["unique_read_count"] = len(uniq)
         ctx["alignment_count"] = engine.last_assign_count

@@ -76,6 +76,16 @@ _lib.t1k_fragment_batch.argtypes = [
 _lib.t1k_screen_batch.argtypes = [
     ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, ct.c_int64, _c_u8p,
 ]
+_lib.t1k_overlap_buckets.restype = ct.c_int64
+_lib.t1k_overlap_buckets.argtypes = [
+    ct.c_void_p, _c_i8p, _c_i64p, _c_i32p, ct.c_int64, ct.c_int64,
+    _c_i32p, _c_i8p, _c_i64p,
+]
+_c_u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_lib.t1k_set_candidates.restype = None
+_lib.t1k_set_candidates.argtypes = [
+    ct.c_void_p, ct.c_int64, _c_u8p, _c_u64p, ct.c_int32,
+]
 _c_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 _lib.t1k_coalesce_batch.restype = ct.c_int64
 _lib.t1k_coalesce_batch.argtypes = [ct.c_void_p]
@@ -194,6 +204,7 @@ class NativeEngine:
             ref_seq_similarity, hit_len_required, int(relax_intron_align),
         )
         self.kmer_length = kmer_length
+        self.hit_len_required = hit_len_required
         if threads > 1:
             _lib.t1k_engine_set_threads(self._handle, threads)
 
@@ -204,6 +215,7 @@ class NativeEngine:
             self._handle = None
 
     def set_hit_len_required(self, h: int) -> None:
+        self.hit_len_required = h
         _lib.t1k_engine_set_hit_len(self._handle, h)
 
     def set_threads(self, n: int) -> None:
@@ -459,6 +471,58 @@ class NativeEngine:
         return np.ctypeslib.as_array(
             _lib.t1k_get_pos_weight(self._handle), shape=(total, 4)
         ).copy()
+
+    def set_candidates(self, n_reads: int,
+                       cand_reads: np.ndarray, cand_seqs: np.ndarray,
+                       cand_strands: np.ndarray,
+                       undecided: np.ndarray) -> None:
+        """Install device-generated candidate buckets (phase-A-lite,
+        ops/phase_a.py DeviceCandidates.generate output) for the next
+        assign/defer cycle: hit collection keeps only the listed
+        (strand, seq) buckets per read; reads flagged `undecided` run
+        unpruned.  Pass n_reads=0 to clear."""
+        if n_reads == 0:
+            _lib.t1k_set_candidates(
+                self._handle, 0, np.zeros(0, np.uint8),
+                np.zeros(0, np.uint64), 0)
+            return
+        n_seqs = int(self._packed.n)
+        words = max(1, (2 * n_seqs + 63) // 64)
+        bits = np.zeros((n_reads, words), np.uint64)
+        has = (~np.asarray(undecided, bool)).astype(np.uint8)
+        idx = (np.where(np.asarray(cand_strands) == 1, n_seqs, 0)
+               + np.asarray(cand_seqs, np.int64))
+        r = np.asarray(cand_reads, np.int64)
+        np.bitwise_or.at(bits, (r, idx >> 6),
+                         np.uint64(1) << (idx & 63).astype(np.uint64))
+        _lib.t1k_set_candidates(
+            self._handle, n_reads, np.ascontiguousarray(has),
+            np.ascontiguousarray(bits.reshape(-1)), words)
+
+    def overlap_buckets(
+        self, read_codes: np.ndarray, read_starts: np.ndarray,
+        read_lens: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per read, the distinct (seq, strand) buckets whose chains
+        emit >= 1 overlap in the assignment path's pre-DP stage — the
+        parity oracle for the device candidate generator
+        (ops/phase_a.py DeviceCandidates).  Returns CSR
+        (offsets [n+1] int64, seqs int32, strands int8)."""
+        n = len(read_lens)
+        codes = np.ascontiguousarray(read_codes, dtype=np.int8)
+        starts = np.ascontiguousarray(read_starts, dtype=np.int64)
+        lens = np.ascontiguousarray(read_lens, dtype=np.int32)
+        off = np.zeros(n + 1, dtype=np.int64)
+        cap = max(1024, 64 * n)
+        while True:
+            seqs = np.zeros(cap, dtype=np.int32)
+            strands = np.zeros(cap, dtype=np.int8)
+            total = _lib.t1k_overlap_buckets(
+                self._handle, codes, starts, lens, n, cap, seqs, strands,
+                off)
+            if total <= cap:
+                return off, seqs[:total], strands[:total]
+            cap = int(total)
 
     def screen_batch(
         self, read_codes: np.ndarray, read_starts: np.ndarray, read_lens: np.ndarray

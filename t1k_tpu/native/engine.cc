@@ -417,6 +417,18 @@ struct Engine {
   double refSim = 0.8;
   bool relaxIntron = false;
 
+  // Device-candidate pruning (phase-A-lite, ops/phase_a.py
+  // DeviceCandidates): per unique read, a (strand, seq) bucket bitset —
+  // bit index = (strand == +1 ? nSeqs : 0) + seq, matching the
+  // CollectHitsSorted counting layout.  Hit collection drops postings
+  // whose bucket is absent; the device guarantees (parity-tested) that
+  // every dropped bucket would emit zero overlaps, so results are
+  // byte-identical.  candHas[i] == 0 leaves read i unpruned (device
+  // overflow fallback).
+  std::vector<uint64_t> candBits;
+  std::vector<uint8_t> candHas;
+  int32_t candWords = 0;
+
   // Per-base coverage of matched read bases, [sum(len)][4].
   std::vector<int32_t> posWeight;
   // Per-seq coverage locks for multi-threaded scatter (the reference's
@@ -508,7 +520,8 @@ struct ScopedNs {
 // scatter — no intermediate unsorted hit array or separate sort pass.
 static void CollectHitsSorted(const Engine& eng, const int8_t* read, int len,
                               const int8_t* rcRead, int strand,
-                              std::vector<Hit>* hits) {
+                              std::vector<Hit>* hits,
+                              const uint64_t* candBits = nullptr) {
   const int k = eng.index.k();
   const int skipLimit = k / 2;
   struct Probe {
@@ -551,17 +564,31 @@ static void CollectHitsSorted(const Engine& eng, const int8_t* read, int len,
   const int nSeqs = eng.nSeqs;
   static thread_local std::vector<int> counts;
   counts.assign(2 * nSeqs + 1, 0);
+  auto allowed = [&](int idx) {
+    return (candBits[idx >> 6] >> (idx & 63)) & 1;
+  };
+  size_t kept = 0;
   for (const Probe& pr : probes) {
     int base = pr.strand == 1 ? nSeqs : 0;
-    for (const Posting& p : *pr.plist) ++counts[base + p.seq + 1];
+    if (candBits) {
+      for (const Posting& p : *pr.plist)
+        if (allowed(base + p.seq)) {
+          ++counts[base + p.seq + 1];
+          ++kept;
+        }
+    } else {
+      for (const Posting& p : *pr.plist) ++counts[base + p.seq + 1];
+    }
   }
   for (int i = 1; i <= 2 * nSeqs; ++i) counts[i] += counts[i - 1];
-  hits->resize(total);
+  hits->resize(candBits ? kept : total);
   Hit* out = hits->data();
   for (const Probe& pr : probes) {
     int base = pr.strand == 1 ? nSeqs : 0;
-    for (const Posting& p : *pr.plist)
+    for (const Posting& p : *pr.plist) {
+      if (candBits && !allowed(base + p.seq)) continue;
       out[counts[base + p.seq]++] = {pr.strand, p.seq, pr.roff, p.off};
+    }
   }
 }
 
@@ -1503,7 +1530,8 @@ static void AssignExtendAndFinish(Engine& eng, const int8_t* read,
 
 // Full read-end assignment (reference SeqSet.hpp:2119-2303).
 static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
-                       std::vector<Overlap>* out, AlignScratch* scratch) {
+                       std::vector<Overlap>* out, AlignScratch* scratch,
+                       const uint64_t* candBits = nullptr) {
   out->clear();
   const int k = eng.index.k();
   if (len < k || eng.nSeqs == 0) return;
@@ -1517,7 +1545,7 @@ static void AssignRead(Engine& eng, const int8_t* read, int len, int weight,
   static thread_local std::vector<Hit> hits;
   {
     ScopedNs t(&gProf.hits);
-    CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
+    CollectHitsSorted(eng, read, len, rc.data(), 0, &hits, candBits);
   }
   if (EngineProfile::Enabled()) gProf.nHits += (int64_t)hits.size();
 
@@ -1772,7 +1800,14 @@ static void DeferBegin2(Engine& eng, const int8_t* readCodes,
         seeds.clear();
         {
           ScopedNs t(&gProf.hits);
-          CollectHitsSorted(eng, read, len, rcBuf.data(), 0, &hits);
+          // chunked deferral: global unique-read index = deferBase + i
+          const int64_t gi = (eng.deferBase >= 0 ? eng.deferBase : 0) + i;
+          CollectHitsSorted(
+              eng, read, len, rcBuf.data(), 0, &hits,
+              (eng.candWords && gi < (int64_t)eng.candHas.size() &&
+               eng.candHas[gi])
+                  ? eng.candBits.data() + gi * eng.candWords
+                  : nullptr);
         }
         {
           ScopedNs t(&gProf.chain);
@@ -2292,6 +2327,74 @@ void t1k_engine_set_hit_len(void* e, int32_t h) {
   static_cast<t1k::Engine*>(e)->hitLenRequired = h;
 }
 
+// Install device-generated candidate buckets (phase-A-lite): per unique
+// read i of the NEXT t1k_assign_batch / defer cycle, has[i] != 0 makes
+// hit collection keep only postings whose (strand, seq) bucket bit is
+// set in bits[i * words .. (i+1) * words).  Bit index =
+// (strand == +1 ? nSeqs : 0) + seq.  Passing n_reads = 0 clears.
+void t1k_set_candidates(void* e, int64_t n_reads, const uint8_t* has,
+                        const uint64_t* bits, int32_t words) {
+  auto& eng = *static_cast<t1k::Engine*>(e);
+  if (n_reads <= 0) {
+    eng.candBits.clear();
+    eng.candHas.clear();
+    eng.candWords = 0;
+    return;
+  }
+  eng.candWords = words;
+  eng.candHas.assign(has, has + n_reads);
+  eng.candBits.assign(bits, bits + n_reads * (int64_t)words);
+}
+
+// Parity oracle for the device candidate generator (ops/phase_a.py
+// DeviceCandidates): per read, the distinct (seq, strand) buckets whose
+// chains emit >= 1 overlap in BuildOverlaps — the exact pre-DP keep set
+// of the assignment path.  CSR output: out_off [n_reads+1]; returns the
+// total bucket count (caller re-sizes and re-calls if > cap_out).
+int64_t t1k_overlap_buckets(void* ep, const int8_t* read_codes,
+                            const int64_t* read_starts,
+                            const int32_t* read_lens, int64_t n_reads,
+                            int64_t cap_out, int32_t* out_seq,
+                            int8_t* out_strand, int64_t* out_off) {
+  auto& eng = *static_cast<t1k::Engine*>(ep);
+  const int k = eng.index.k();
+  int64_t total = 0;
+  std::vector<int8_t> rc;
+  std::vector<t1k::Hit> hits;
+  std::vector<t1k::Overlap> overlaps;
+  t1k::SeedSpans seeds;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    out_off[i] = total;
+    const int8_t* read = read_codes + read_starts[i];
+    const int len = read_lens[i];
+    if (len < k || eng.nSeqs == 0) continue;
+    rc.assign(len, 0);
+    for (int t = 0; t < len; ++t) {
+      int8_t c = read[len - 1 - t];
+      rc[t] = c < 4 ? (int8_t)(3 - c) : (int8_t)4;
+    }
+    t1k::CollectHitsSorted(eng, read, len, rc.data(), 0, &hits);
+    overlaps.clear();
+    seeds.clear();
+    t1k::BuildOverlaps(eng, hits, eng.hitLenRequired, &overlaps, &seeds);
+    int32_t lastSeq = -1;
+    int8_t lastStrand = 0;
+    for (const t1k::Overlap& o : overlaps) {
+      // overlaps arrive in group order: consecutive dedupe is exact
+      if (o.seq == lastSeq && (int8_t)o.strand == lastStrand) continue;
+      lastSeq = o.seq;
+      lastStrand = (int8_t)o.strand;
+      if (total < cap_out) {
+        out_seq[total] = o.seq;
+        out_strand[total] = (int8_t)o.strand;
+      }
+      ++total;
+    }
+  }
+  out_off[n_reads] = total;
+  return total;
+}
+
 // Assign a batch of (unique) reads.  Each result record is 11 doubles:
 // [seqIdx, readStart, readEnd, seqStart, seqEnd, strand, matchCnt,
 //  relaxedMatchCnt, similarity, leftClip, rightClip].
@@ -2315,7 +2418,11 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
     for (int64_t i = start; i < end; ++i) {
       std::vector<t1k::Overlap>& assign = eng.lastAssign[i];
       t1k::AssignRead(eng, read_codes + read_starts[i], read_lens[i],
-                      weights[i], &assign, &scratch);
+                      weights[i], &assign, &scratch,
+                      (eng.candWords && i < (int64_t)eng.candHas.size() &&
+                       eng.candHas[i])
+                          ? eng.candBits.data() + i * eng.candWords
+                          : nullptr);
       if (!eng.storeResults) {
         shardCounts[tid].push_back((int64_t)assign.size());
         continue;

@@ -424,10 +424,39 @@ def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,
         jnp.where(inb, pidx, 0))[:, :B]
     b = post_off[bpidx]
     nb = jnp.minimum(best_len, B)
+
+    seg_core, seg_budget = _chain_rows(a, b, nb, lens, budgets, k=k,
+                                       radius=radius,
+                                       hit_len_required=hit_len_required)
+    verdict = pass0 & (seg_core & seg_budget).any(axis=1)
+    return verdict, decided
+
+
+def _chain_rows(a, b, nb, lens, budgets, *, k: int, radius: int,
+                hit_len_required: int):
+    """The exact per-bucket chain state machine on a dense [NR, B] seed
+    tile: diagonal clustering (radius gaps), dominant-diagonal seed
+    dedupe, reference patience-LIS, TotalSpan on both axes, and the
+    per-segment keep filters (engine.cc BuildOverlaps; reference
+    SeqSet.hpp:1232-1556).  Row r holds one (read, strand, seq) bucket's
+    seeds (a=readOff, b=seqOff), the first nb[r] columns valid; input
+    order within a row is irrelevant (the cluster sort normalizes).
+
+    Returns per-SEGMENT masks ([NR, B+1]):
+      seg_core    the four conditions every overlap-emitting segment
+                  meets (size >= 3, size*k >= hitLen, lis*k >= hitLen,
+                  spans >= hitLen on both axes) — a bucket emits >= 1
+                  overlap in the assignment path iff seg_core.any()
+      seg_budget  the screen's extra mismatch-budget test
+                  (lens - span_a <= budgets); HasHitInSet accepts iff
+                  (seg_core & seg_budget).any()
+    """
+    NR, B = a.shape
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(NR)[:, None]
     mv = pos < nb[:, None]
 
-    # ---- diagonal sort of the best bucket: (c, b, a) ascending
+    # ---- diagonal sort of the bucket: (c, b, a) ascending
     c = a - b
     sk = lambda x: jnp.where(mv, x, I32MAX)
     c, b, a = jax.lax.sort((sk(c), sk(b), sk(a)), dimension=1, num_keys=3)
@@ -510,10 +539,10 @@ def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,
 
     (_, _), (links, chain_ends) = jax.lax.scan(
         lis_step,
-        (jnp.full((R, B), I32MAX, jnp.int32),
-         jnp.full((R, B), -1, jnp.int32)),
+        (jnp.full((NR, B), I32MAX, jnp.int32),
+         jnp.full((NR, B), -1, jnp.int32)),
         (jnp.arange(B, dtype=jnp.int32), a.T, ml.T, segstart.T))
-    links = links.T                  # [R, B]
+    links = links.T                  # [NR, B]
     chain_ends = chain_ends.T
 
     # ---- backtrack every segment's chain in parallel
@@ -531,7 +560,7 @@ def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,
         lambda st: (st[0] >= 0).any(),
         lambda st: bt_step(0, st),
         (jnp.where(seg_last, chain_ends, -1),
-         jnp.zeros((R, B), bool)))
+         jnp.zeros((NR, B), bool)))
     chosen &= ml
 
     # ---- collapse duplicate b along each chain (keep the first)
@@ -551,16 +580,13 @@ def _chain_kernel(contrib, cstart, lens, budgets, post_seq, post_off,
     span_b = _segment_reduce(cb, seg, NSEG)
     lis_sz = _segment_reduce(kept.astype(jnp.int32), seg, NSEG)
 
-    # ---- per-segment filters and the screen's mismatch-budget test
-    seg_szl = seg_sz
     hlr = hit_len_required
-    seg_pass = ((seg_szl >= _MIN_HIT_REQUIRED)
-                & (seg_szl * k >= hlr)
+    seg_core = ((seg_sz >= _MIN_HIT_REQUIRED)
+                & (seg_sz * k >= hlr)
                 & (lis_sz * k >= hlr)
-                & (span_a >= hlr) & (span_b >= hlr)
-                & (lens[:, None] - span_a <= budgets[:, None]))
-    verdict = pass0 & seg_pass.any(axis=1)
-    return verdict, decided
+                & (span_a >= hlr) & (span_b >= hlr))
+    seg_budget = lens[:, None] - span_a <= budgets[:, None]
+    return seg_core, seg_budget
 
 
 class DeviceScreen:
@@ -677,3 +703,209 @@ class DeviceScreen:
             out_v[lo:hi] = np.asarray(v)[:hi - lo]
             out_d[lo:hi] = np.asarray(d)[:hi - lo]
         return out_v, out_d
+
+
+# ----------------------------------------------------- candidate generation
+#
+# Phase-A-lite for the GENOTYPER stage: the device evaluates, per
+# (read, strand, seq) bucket, the exact pre-DP chain filters of the
+# assignment path (engine.cc BuildOverlaps; SeqSet.hpp:1232-1556) and
+# returns the set of buckets that emit at least one overlap — the
+# host engine then only collects/chains hits for surviving buckets.
+# Unlike the extraction screen (one best bucket per read), EVERY bucket
+# becomes a chain row: the census kernel sorts the flat hit arena by
+# bucket and the tile kernel runs the shared _chain_rows state machine
+# on dense [TR, B] bucket tiles.
+
+
+@functools.partial(aot_jit, static_argnames=("n_seqs", "cap"))
+def _cand_census_kernel(contrib, cstart, post_seq, post_off,
+                        n_seqs: int, cap: int):
+    """Flat posting expansion + bucket sort.
+
+    Returns per-slot arrays sorted by bucket key gk = r * NG + lkey
+    (I32MAX for empty slots): (gk_s, a_s, b_s, bid, within, nb_total)
+    where bid is the dense bucket index and `within` the slot's rank
+    inside its bucket."""
+    R, W2 = contrib.shape
+    W = W2 // 2
+    flatc = contrib.reshape(-1)
+    ends = jnp.cumsum(flatc)
+    tot_all = ends[-1]
+    startf = ends - flatc
+    emitf = flatc > 0
+    wid = jnp.arange(R * W2, dtype=jnp.int32)
+    tgt = jnp.where(emitf, startf, cap)
+    scat = lambda v: jnp.zeros(cap + 1, jnp.int32).at[tgt].set(v)[:cap]
+    w = jax.lax.cummax(scat(wid))
+    q = _fill_last(scat(emitf.astype(jnp.int32)).astype(bool),
+                   scat(cstart.reshape(-1) - startf))
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    valid = slot < tot_all
+    r = w // W2
+    woff = w % W2
+    is_fwd = woff < W
+    roff = jnp.where(is_fwd, woff, woff - W)
+    pidx = jnp.clip(q + slot, 0, post_seq.shape[0] - 1)
+    seq = jnp.where(valid, post_seq[pidx], 0)
+    soff = jnp.where(valid, post_off[pidx], 0)
+
+    NG = 2 * n_seqs
+    lkey = seq + jnp.where(is_fwd, n_seqs, 0)
+    gk = jnp.where(valid, r * NG + lkey, I32MAX)
+    gk_s, a_s, b_s = jax.lax.sort((gk, roff, soff), dimension=0, num_keys=1)
+    pos = slot
+    mvalid = gk_s < I32MAX
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), gk_s[:-1]])
+    newb = mvalid & (gk_s != prev)
+    bid = jnp.where(mvalid, jnp.cumsum(newb.astype(jnp.int32)) - 1, I32MAX)
+    bstart = _fill_last(newb, pos)
+    within = jnp.where(mvalid, pos - bstart, 0)
+    return gk_s, a_s, b_s, bid, within, newb.sum()
+
+
+@functools.partial(
+    aot_jit,
+    static_argnames=("TR", "B", "k", "n_seqs", "radius",
+                     "hit_len_required"))
+def _cand_tile_kernel(gk_s, a_s, b_s, bid, within, lens, tile_start,
+                      TR: int, B: int, k: int, n_seqs: int, radius: int,
+                      hit_len_required: int):
+    """Chain one tile of TR buckets: scatter the tile's slots into a
+    dense [TR, B] seed block and run the shared chain state machine.
+
+    Returns (keep [TR], read [TR], lkey [TR], nb [TR], over [TR]):
+    `keep` marks buckets whose chain emits >= 1 overlap; `over` marks
+    buckets whose hit count exceeds B (the caller falls back to the
+    host for those reads)."""
+    cap = gk_s.shape[0]
+    sel = (bid >= tile_start) & (bid < tile_start + TR)
+    row = jnp.where(sel, bid - tile_start, TR)
+    over_slot = sel & (within >= B)
+    tgt_r = jnp.where(sel & ~over_slot, row, TR)
+    tgt_c = jnp.where(sel & ~over_slot, within, B)
+    A = jnp.zeros((TR + 1, B + 1), jnp.int32).at[tgt_r, tgt_c].set(
+        jnp.where(sel, a_s, 0))[:TR, :B]
+    Bm = jnp.zeros((TR + 1, B + 1), jnp.int32).at[tgt_r, tgt_c].set(
+        jnp.where(sel, b_s, 0))[:TR, :B]
+    cnt = jax.ops.segment_sum(sel.astype(jnp.int32), row,
+                              num_segments=TR + 1)[:TR]
+    nonempty = cnt > 0
+    # segment_max fills empty segments with int32 min: mask them out
+    over = nonempty & (jax.ops.segment_max(
+        over_slot.astype(jnp.int32), row, num_segments=TR + 1)[:TR] > 0)
+    rowgk = jnp.where(nonempty, jax.ops.segment_max(
+        jnp.where(sel, gk_s, 0), row, num_segments=TR + 1)[:TR], 0)
+    NG = 2 * n_seqs
+    read = rowgk // NG
+    lkey = rowgk % NG
+    nb = jnp.minimum(cnt, B)
+    lens_row = lens[jnp.clip(read, 0, lens.shape[0] - 1)]
+    seg_core, _ = _chain_rows(A, Bm, nb, lens_row,
+                              jnp.zeros_like(lens_row), k=k, radius=radius,
+                              hit_len_required=hit_len_required)
+    keep = seg_core.any(axis=1) & ~over & (cnt > 0)
+    return keep, read, lkey, nb, over
+
+
+class DeviceCandidates:
+    """Per-read candidate (strand, seq) generation on device.
+
+    generate(codes [n, L], lens) -> (reads, seqs, strands, undecided):
+    flat arrays of the surviving buckets (exactly the buckets whose
+    chains emit >= 1 overlap in the host assignment path), plus a bool
+    [n] marking reads the device could not decide (hit-volume or
+    bucket-size overflow) — the caller runs those reads unpruned."""
+
+    _TIER_LADDER = (1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24)
+
+    def __init__(self, index: PhaseAIndex, hit_len_required: int,
+                 radius: int = 10, hit_cap: int = 1 << 24,
+                 bucket_cap: int = 128, row_chunk: int = 1024,
+                 tile_rows: int = 16384):
+        self.index = index
+        self.hit_len_required = hit_len_required
+        self.radius = radius
+        self.bucket_cap = bucket_cap
+        self.row_chunk = row_chunk
+        self.tile_rows = tile_rows
+        self.tiers = sorted({min(hit_cap, t) for t in self._TIER_LADDER})
+
+    @classmethod
+    def build(cls, packed, k: int, hit_len_required: int,
+              **caps) -> "DeviceCandidates":
+        return cls(PhaseAIndex.build(packed, k), hit_len_required, **caps)
+
+    def generate(self, codes: np.ndarray, lens: np.ndarray):
+        n, L = codes.shape
+        reads_out, seqs_out, strands_out = [], [], []
+        undecided = np.zeros(n, bool)
+        if n == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.int8), undecided)
+        idx = self.index
+        if L < idx.k or L >= 1 << 12:
+            undecided[:] = True
+            return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.int8), undecided)
+        Lp = 64
+        while Lp < L:
+            Lp *= 2
+        rows = 32
+        while rows < min(n, self.row_chunk):
+            rows *= 2
+        NG = 2 * idx.n_seqs
+        for lo in range(0, n, rows):
+            hi = min(lo + rows, n)
+            pc = np.full((rows, Lp), 4, np.int8)
+            pc[:hi - lo, :L] = codes[lo:hi]
+            pl = np.zeros(rows, np.int32)
+            pl[:hi - lo] = lens[lo:hi]
+            contrib, cstart, tot = _probe_kernel(
+                jnp.asarray(pc), jnp.asarray(pl),
+                idx.starts, idx.keys, idx.hstart, idx.hcount,
+                k=idx.k, direct=idx.direct, hsize=idx.hsize,
+                max_probe=idx.max_probe)
+            tot_all = int(np.asarray(tot).sum())
+            cap = next((t for t in self.tiers if tot_all <= t), None)
+            if cap is None:
+                undecided[lo:hi] = True
+                continue
+            gk_s, a_s, b_s, bid, within, nb_total = _cand_census_kernel(
+                contrib, cstart, idx.post_seq, idx.post_off,
+                n_seqs=idx.n_seqs, cap=cap)
+            nb_total = int(nb_total)
+            pl_d = jnp.asarray(pl)
+            for ts in range(0, nb_total, self.tile_rows):
+                keep, read, lkey, nb, over = _cand_tile_kernel(
+                    gk_s, a_s, b_s, bid, within, pl_d,
+                    jnp.int32(ts), TR=self.tile_rows, B=self.bucket_cap,
+                    k=idx.k, n_seqs=idx.n_seqs, radius=self.radius,
+                    hit_len_required=self.hit_len_required)
+                keep = np.asarray(keep)
+                read = np.asarray(read)
+                lkey = np.asarray(lkey)
+                over = np.asarray(over)
+                if over.any():
+                    undecided[lo + read[over]] = True
+                if keep.any():
+                    reads_out.append(lo + read[keep].astype(np.int64))
+                    is_fwd = lkey[keep] >= idx.n_seqs
+                    seqs_out.append(np.where(
+                        is_fwd, lkey[keep] - idx.n_seqs,
+                        lkey[keep]).astype(np.int32))
+                    strands_out.append(
+                        np.where(is_fwd, 1, -1).astype(np.int8))
+        if reads_out:
+            reads = np.concatenate(reads_out)
+            seqs = np.concatenate(seqs_out)
+            strands = np.concatenate(strands_out)
+        else:
+            reads = np.zeros(0, np.int64)
+            seqs = np.zeros(0, np.int32)
+            strands = np.zeros(0, np.int8)
+        # drop buckets of undecided reads (the host recomputes them)
+        if undecided.any() and len(reads):
+            m = ~undecided[reads]
+            reads, seqs, strands = reads[m], seqs[m], strands[m]
+        return reads, seqs, strands, undecided

@@ -140,6 +140,13 @@ class _AotFunction:
         jitted = self._get_jit()
         if not _active():
             return jitted(*args, **kwargs)
+        import jax
+
+        # under an outer trace (jit/vmap/grad) a Compiled executable
+        # cannot run — inline through the normal jit path instead
+        if any(isinstance(a, jax.core.Tracer) for a in args) or any(
+                isinstance(v, jax.core.Tracer) for v in kwargs.values()):
+            return jitted(*args, **kwargs)
         sig = self._sig(args, kwargs)
         compiled = self._compiled.get(sig)
         if compiled is None:

@@ -172,3 +172,80 @@ def test_overflow_reads_are_flagged_undecided():
         codes[i, :len(r)] = encode_seq(r)
     _, decided = dev.screen(codes, lens)
     assert not decided.any()  # tiny caps: every read overflows, none lies
+
+
+# ------------------------------------------------- candidate generation
+
+def check_candidate_parity(seqs, reads, k, hit_len, caps=None):
+    """DeviceCandidates vs the engine's overlap-bucket oracle: for every
+    DECIDED read, the device keep set must EQUAL the set of buckets that
+    emit >= 1 overlap in the assignment path."""
+    from t1k_tpu.ops.phase_a import DeviceCandidates
+
+    refset = RefSet(digit_units=-1, delimiter="")
+    for i, s in enumerate(seqs):
+        refset.add_allele(f"G{i % 3}*{i:03d}", s, None)
+    packed = refset.packed()
+    eng = NativeEngine(packed, k, hit_len_required=hit_len)
+    dev = DeviceCandidates.build(packed, k, hit_len,
+                                 **(caps or dict(bucket_cap=128)))
+
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), 4, np.int8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        c = encode_seq(r)
+        codes[i, :len(c)] = c
+        lens[i] = len(c)
+    reads_k, seqs_k, strands_k, undecided = dev.generate(codes, lens)
+
+    cat = np.concatenate([encode_seq(r) for r in reads])
+    starts = np.zeros(len(reads), np.int64)
+    starts[1:] = np.cumsum(lens[:-1].astype(np.int64))
+    off, oseqs, ostrands = eng.overlap_buckets(cat, starts, lens)
+
+    dev_sets = {}
+    for r, s, st in zip(reads_k, seqs_k, strands_k):
+        dev_sets.setdefault(int(r), set()).add((int(s), int(st)))
+    n_checked = 0
+    for i in range(len(reads)):
+        if undecided[i]:
+            continue
+        want = {(int(oseqs[j]), int(ostrands[j]))
+                for j in range(off[i], off[i + 1])}
+        got = dev_sets.get(i, set())
+        assert got == want, (
+            f"read {i} candidate set differs:\n  device-only: "
+            f"{sorted(got - want)[:5]}\n  engine-only: "
+            f"{sorted(want - got)[:5]}\n  read: {reads[i]!r}")
+        n_checked += 1
+    return n_checked
+
+
+def test_candidates_parity_random_panels():
+    total = 0
+    for trial in range(3):
+        rng = np.random.default_rng(900 + trial)
+        base = rand_seq(rng, int(rng.integers(300, 700)))
+        seqs = []
+        for s in range(int(rng.integers(3, 25))):
+            if rng.random() < 0.7:
+                seqs.append(mutate(rng, base, 0.03).replace("N", "A"))
+            else:
+                seqs.append(rand_seq(rng, int(rng.integers(200, 600))))
+        reads = make_reads(rng, seqs, 40)
+        total += check_candidate_parity(seqs, reads, k=9, hit_len=23)
+    assert total > 80
+
+
+def test_candidates_parity_near_identical_panel():
+    """The genotyper regime: many near-identical alleles, k=11,
+    hitLen=31 — nearly every bucket survives; the keep set must still
+    be exact (including the rare losers)."""
+    rng = np.random.default_rng(41)
+    base = rand_seq(rng, 900)
+    seqs = [mutate(rng, base, 0.01).replace("N", "G") for _ in range(40)]
+    reads = make_reads(rng, seqs, 40)
+    n = check_candidate_parity(seqs, reads, k=11, hit_len=31,
+                               caps=dict(bucket_cap=256))
+    assert n > 20

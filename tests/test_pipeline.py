@@ -96,6 +96,35 @@ def test_distributed_matches_single_host(workers, tmp_path):
         assert got == want, f"distributed {suffix} differs"
 
 
+def test_device_candidates_byte_identical(tmp_path):
+    """Phase-A-lite: device-generated candidate pruning
+    (GenotypeOptions.device_candidates) must leave every output
+    byte-identical — the device keep set equals the engine's
+    overlap-emitting bucket set by construction (parity-tested in
+    test_phase_a.py), so the pruned engine sees the same overlaps."""
+    case = CASES["rna"]
+    if not os.path.exists(case["ref"]):
+        pytest.skip("reference database not available")
+    p1 = os.path.join(DATA_DIR, "rna_1.fq")
+    p2 = os.path.join(DATA_DIR, "rna_2.fq")
+    prefix = str(tmp_path / "devcand")
+    run_genotyper(case["ref"], [p1], [p2], prefix,
+                  GenotypeOptions(device_candidates=True,
+                                  output_read_assignment=True))
+    for suffix in ("_genotype.tsv", "_allele.tsv"):
+        with open(prefix + suffix) as f:
+            got = f.read()
+        with open(os.path.join(GOLDEN_DIR, "rna" + suffix)) as f:
+            want = f.read()
+        assert got == want, f"device-candidates {suffix} differs"
+    # the full per-read assignment dump must also match an unpruned run
+    plain = str(tmp_path / "plain")
+    run_genotyper(case["ref"], [p1], [p2], plain,
+                  GenotypeOptions(output_read_assignment=True))
+    assert (open(prefix + "_assign.tsv").read()
+            == open(plain + "_assign.tsv").read())
+
+
 def test_distributed_cli_two_processes(tmp_path):
     """An N-process run of the full driver CLI (T1K_NUM_PROCESSES /
     T1K_PROCESS_ID env, real processes, file-based shard exchange) is
