@@ -14,8 +14,16 @@ Quantifies, on the HLA-scale benchmark's real read/panel data:
 
 Run variants: `python benchmarks/phase_a_lite.py native|pruned` each
 print one JSON line from a clean process (profile counters are
-process-cumulative); no argv runs both plus the device measurement and
-prints the combined analysis.
+process-cumulative); `analysis` prints the oracle-based crossover
+numbers without touching the device; no argv runs everything.
+
+MEASURED OUTCOME (r4, HLA scale — recorded in docs/tpu_pipeline.md):
+the host's whole hits+chain+overlap pass is 6.3s; 993.9 buckets/read
+survive the pre-DP filters (18.3M total = 146MB keep set, ~5.9s over
+the 25MB/s relay); and the device census (one lax.sort of the flat
+4-16M hit arena) did not complete in 12+ minutes on this chip.
+Candidate pruning therefore stays off by default on every attachment;
+the `pruned` variant is expected to lose badly on relay rigs.
 """
 
 from __future__ import annotations
@@ -105,8 +113,36 @@ def run_variant(variant: str):
     }))
 
 
+def run_analysis():
+    """Host-only crossover analysis via the engine's overlap-bucket
+    oracle: exact keep-set size + the host cost pruning competes with."""
+    uniq, codes, starts, lens = load_unique_reads()
+    engine, packed = build_engine()
+    t0 = time.perf_counter()
+    off, _, _ = engine.overlap_buckets(codes, starts, lens)
+    host_s = time.perf_counter() - t0
+    n_keep = int(off[-1])
+    traffic_mb = n_keep * 8 / 1e6
+    print(json.dumps({
+        "metric": "phase_a_lite_crossover",
+        "n_uniq_reads": len(uniq), "panel_seqs": int(packed.n),
+        "keep_buckets": n_keep,
+        "keep_per_read": round(n_keep / len(uniq), 1),
+        "keep_set_mb": round(traffic_mb, 1),
+        "host_hits_chain_overlap_s": round(host_s, 2),
+        "relay_transfer_s_at_25MBps": round(traffic_mb / 25, 1),
+        "local_transfer_s_at_1GBps": round(traffic_mb / 1000, 2),
+    }))
+
+
 def main():
     if len(sys.argv) > 1:
+        if sys.argv[1] == "analysis":
+            subprocess.run([sys.executable,
+                            os.path.join(ROOT, "benchmarks",
+                                         "hla_scale.py"), "none"],
+                           check=True, capture_output=True)
+            return run_analysis()
         return run_variant(sys.argv[1])
 
     subprocess.run([sys.executable,
