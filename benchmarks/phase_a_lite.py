@@ -20,8 +20,9 @@ numbers without touching the device; no argv runs everything.
 MEASURED OUTCOME (r4, HLA scale — recorded in docs/tpu_pipeline.md):
 the host's whole hits+chain+overlap pass is 6.3s; 993.9 buckets/read
 survive the pre-DP filters (18.3M total = 146MB keep set, ~5.9s over
-the 25MB/s relay); and the device census (one lax.sort of the flat
-4-16M hit arena) did not complete in 12+ minutes on this chip.
+the 25MB/s relay); and the device census (one lax.sort of a 4.2M-slot
+hit arena) measured 1174s on this chip — TPU variadic sorts serialize,
+~3 orders of magnitude off the host's 1.1s counting sort.
 Candidate pruning therefore stays off by default on every attachment;
 the `pruned` variant is expected to lose badly on relay rigs.
 """
