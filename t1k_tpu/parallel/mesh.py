@@ -168,10 +168,12 @@ def em_quantify_sharded_squarem(
     ec_cnt = len(ec_to_alleles)
     (ec_len, ec_size, ec_first, allele_ec, allele_valid, init_x) = (
         _pack_ec_tables(ec_to_alleles, allele_eff_len, allele_weight))
+    counts = np.asarray(counts, np.float64)
+    # accept per-read-group counts (the native em_quantify convention)
+    # or per-incidence-entry counts
+    entry_counts = counts[seg_rg] if counts.shape == (rg_cnt,) else counts
     (_, sec, _, secs_sorted, srgo, ctso, srgs, srge, secs, sece) = (
-        partition_read_groups(seg_rg, seg_ec,
-                              np.asarray(counts, np.float64)[seg_rg]
-                              if counts.shape == (rg_cnt,) else counts,
+        partition_read_groups(seg_rg, seg_ec, entry_counts,
                               rg_cnt, n, ec_cnt=ec_cnt))
 
     mask_reset = _make_mask_reset(
