@@ -585,9 +585,14 @@ static void CollectHitsSorted(const Engine& eng, const int8_t* read, int len,
   Hit* out = hits->data();
   for (const Probe& pr : probes) {
     int base = pr.strand == 1 ? nSeqs : 0;
-    for (const Posting& p : *pr.plist) {
-      if (candBits && !allowed(base + p.seq)) continue;
-      out[counts[base + p.seq]++] = {pr.strand, p.seq, pr.roff, p.off};
+    if (candBits) {
+      for (const Posting& p : *pr.plist) {
+        if (!allowed(base + p.seq)) continue;
+        out[counts[base + p.seq]++] = {pr.strand, p.seq, pr.roff, p.off};
+      }
+    } else {
+      for (const Posting& p : *pr.plist)
+        out[counts[base + p.seq]++] = {pr.strand, p.seq, pr.roff, p.off};
     }
   }
 }
