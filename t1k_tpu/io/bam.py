@@ -488,6 +488,20 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             hit_len = kmer_length
     engine = NativeEngine(packed, kmer_length, hit_len_required=hit_len)
 
+    # Device screen, same routing as the FASTQ extractor (presence, not
+    # DP locality — core/extractor.py): the exact phase-A program
+    # screens each flushed batch on the chip; reads whose hit volume
+    # overflows the static caps are re-screened by the native engine,
+    # so output stays byte-identical.
+    backend = getattr(opts, "backend", "auto") if opts is not None else "auto"
+    device_screen = None
+    from ..core.pipeline import tpu_present
+    if backend == "tpu" or (backend == "auto" and tpu_present()):
+        from ..ops.phase_a import DeviceScreen
+        # bam-extractor has no -s knob; HasHitInSet runs at the default
+        # similarity (reference BamExtractor.cpp uses SeqSet defaults)
+        device_screen = DeviceScreen.build(packed, kmer_length, hit_len, 0.8)
+
     # gene intervals
     genes: List[Tuple[int, int, int]] = []
     with open(coord_path) as f:
@@ -617,9 +631,27 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             seg = np.repeat(np.arange(n), lens)
             from ..core.extractor import low_complexity_flags
             lc = low_complexity_flags(codes, seg, lens)
-            hits = engine.screen_batch(
-                codes, starts, lens.astype(np.int32))
-            passed = (hits.astype(bool) & ~lc).tolist()
+            hits = np.zeros(n, bool)
+            todo = np.flatnonzero(~lc)
+            if len(todo) and device_screen is not None:
+                max_len = int(lens[todo].max())
+                padded = np.full((len(todo), max_len), 4, np.int8)
+                plens = np.zeros(len(todo), np.int32)
+                for j, i in enumerate(todo):
+                    padded[j, :lens[i]] = codes[starts[i]:starts[i] + lens[i]]
+                    plens[j] = lens[i]
+                verdict, decided = device_screen.screen(padded, plens)
+                hits[todo[decided]] = verdict[decided]
+                todo = todo[~decided]
+            if len(todo):
+                sub = engine.screen_batch(
+                    np.concatenate([codes[starts[i]:starts[i] + lens[i]]
+                                    for i in todo]),
+                    np.concatenate([[0], np.cumsum(
+                        lens[todo][:-1])]).astype(np.int64),
+                    lens[todo].astype(np.int32))
+                hits[todo] = sub.astype(bool)
+            passed = (hits & ~lc).tolist()
             not_lc = (~lc).tolist()
         else:
             passed = []
