@@ -51,6 +51,10 @@ inline bool BaseEq(int8_t t, int8_t p) {
   return t == p || t == 4 || p == 4;
 }
 
+// Profile counter for the all-match diagonal DP shortcut (defined here
+// because the DP kernels precede EngineProfile).
+static std::atomic<int64_t> gDiagFast{0};
+
 // Banded global alignment with affine gaps.
 //
 // Semantics contract (reference AlignAlgo.hpp:215-421): band of `band`
@@ -75,6 +79,17 @@ static int BandedGlobalAlign(const int8_t* t, int lent, const int8_t* p,
     edits->push_back(eq ? kEditMatch : kEditMismatch);
     return eq ? kMatch : kMismatch;
   }
+  if (lent == lenp) {
+    // Same exact all-match diagonal shortcut as the stats kernel: the
+    // unique optimum is the pure diagonal, so the edit walk is lenp
+    // matches and the score 2*lenp.
+    int i = 0;
+    while (i < lent && BaseEq(t[i], p[i])) ++i;
+    if (i == lent) {
+      edits->assign(lent, kEditMatch);
+      return lent * kMatch;
+    }
+  }
 
   int leftBand = band, rightBand = band;
   if (lent > lenp) rightBand += lent - lenp;
@@ -93,12 +108,20 @@ static int BandedGlobalAlign(const int8_t* t, int lent, const int8_t* p,
   }
 
   m[0] = e[0] = f[0] = 0;
-  for (int i = 1; i <= lenp; ++i) {
+  // Boundary init is trimmed to the band reach: the fill reads column 0
+  // only on rows with start == 1 (i <= leftBand + 1) and row 0 only at
+  // columns <= rightBand + 1, and a traceback path can enter column 0 /
+  // row 0 only from an in-band neighbor (i <= leftBand + 1 resp.
+  // j <= rightBand + 1) before walking toward the origin — cells
+  // beyond that are never read, so their init is skipped.
+  const int initRows = lenp < leftBand + 1 ? lenp : leftBand + 1;
+  const int initCols = lent < rightBand + 1 ? lent : rightBand + 1;
+  for (int i = 1; i <= initRows; ++i) {
     e[(long)i * W] = kGapOpen + i * kGapExtend;
     f[(long)i * W] = kGapOpen + i * kGapOpen;
     m[(long)i * W] = kGapOpen + i * kGapOpen;
   }
-  for (int j = 1; j <= lent; ++j) {
+  for (int j = 1; j <= initCols; ++j) {
     f[j] = kGapOpen + j * kGapExtend;
     // Quirk preserved from the reference (AlignAlgo.hpp:268): the loop
     // counter value lenp+1 leaks into the insert-row initialization.
@@ -106,28 +129,42 @@ static int BandedGlobalAlign(const int8_t* t, int lent, const int8_t* p,
     m[j] = kGapOpen + j * kGapOpen;
   }
 
+  int* __restrict__ eb = e.data();
+  int* __restrict__ fb = f.data();
+  int* __restrict__ mb = m.data();
+  const int goge = kGapOpen + kGapExtend;
   for (int i = 1; i <= lenp; ++i) {
     int start = i - leftBand < 1 ? 1 : i - leftBand;
     int end = i + rightBand > lent ? lent : i + rightBand;
     long row = (long)i * W;
     long prow = row - W;
-    if (start > 1) e[row + start - 1] = f[row + start - 1] = m[row + start - 1] = negInf;
-    if (end < lent) e[row + end + 1] = f[row + end + 1] = m[row + end + 1] = negInf;
+    if (start > 1) eb[row + start - 1] = fb[row + start - 1] = mb[row + start - 1] = negInf;
+    if (end < lent) eb[row + end + 1] = fb[row + end + 1] = mb[row + end + 1] = negInf;
+    // Register-carried neighbors: fJm1/mJm1 are this row's previous
+    // cell (computed last iteration), mUpJm1 is the up-row value loaded
+    // last iteration -- identical arithmetic, fewer memory reads.
+    int fJm1 = fb[row + start - 1];
+    int mJm1 = mb[row + start - 1];
+    int mUpJm1 = mb[prow + start - 1];
+    const int8_t pc = p[i - 1];
     for (int j = start; j <= end; ++j) {
-      int ev = e[prow + j] + kGapExtend;
-      int t2 = m[prow + j] + kGapOpen + kGapExtend;
+      int eUp = eb[prow + j];
+      int mUp = mb[prow + j];
+      int ev = eUp + kGapExtend;
+      int t2 = mUp + goge;
       if (t2 > ev) ev = t2;
-      e[row + j] = ev;
-
-      int fv = f[row + j - 1] + kGapExtend;
-      t2 = m[row + j - 1] + kGapOpen + kGapExtend;
+      eb[row + j] = ev;
+      int fv = fJm1 + kGapExtend;
+      t2 = mJm1 + goge;
       if (t2 > fv) fv = t2;
-      f[row + j] = fv;
-
-      int mv = m[prow + j - 1] + (BaseEq(t[j - 1], p[i - 1]) ? kMatch : kMismatch);
+      fb[row + j] = fv;
+      int mv = mUpJm1 + (BaseEq(t[j - 1], pc) ? kMatch : kMismatch);
       if (ev > mv) mv = ev;
       if (fv > mv) mv = fv;
-      m[row + j] = mv;
+      mb[row + j] = mv;
+      fJm1 = fv;
+      mJm1 = mv;
+      mUpJm1 = mUp;
     }
   }
 
@@ -195,6 +232,21 @@ static EditStats BandedGlobalAlignStats(const int8_t* t, int lent,
     if (BaseEq(t[0], p[0])) ++st.match; else ++st.mismatch;
     return st;
   }
+  if (lent == lenp) {
+    // Exact shortcut: when the equal-length windows match base-for-base,
+    // the all-match diagonal scores 2*lenp, which no path containing a
+    // mismatch or an indel pair can reach, and the unique optimum makes
+    // the traceback follow the diagonal cell-by-cell — the DP would
+    // count exactly lenp matches.
+    int i = 0;
+    while (i < lent && BaseEq(t[i], p[i])) ++i;
+    if (i == lent) {
+      st.match = lent;
+      static const bool prof = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
+      if (prof) gDiagFast.fetch_add(1, std::memory_order_relaxed);
+      return st;
+    }
+  }
   // fill phase shared with the full version
   static thread_local std::vector<int8_t> tmp;
   // (reuse the full routine's fill by calling it with a scratch edit
@@ -210,36 +262,55 @@ static EditStats BandedGlobalAlignStats(const int8_t* t, int lent,
   std::vector<int>& f = scr->f;
   if ((long)m.size() < total) { m.resize(total); e.resize(total); f.resize(total); }
   m[0] = e[0] = f[0] = 0;
-  for (int i = 1; i <= lenp; ++i) {
+  // Same trimmed boundary init as BandedGlobalAlign (see proof there).
+  const int initRows = lenp < leftBand + 1 ? lenp : leftBand + 1;
+  const int initCols = lent < rightBand + 1 ? lent : rightBand + 1;
+  for (int i = 1; i <= initRows; ++i) {
     e[(long)i * W] = kGapOpen + i * kGapExtend;
     f[(long)i * W] = kGapOpen + i * kGapOpen;
     m[(long)i * W] = kGapOpen + i * kGapOpen;
   }
-  for (int j = 1; j <= lent; ++j) {
+  for (int j = 1; j <= initCols; ++j) {
     f[j] = kGapOpen + j * kGapExtend;
     e[j] = kGapOpen + (lenp + 1) * kGapOpen;
     m[j] = kGapOpen + j * kGapOpen;
   }
+  int* __restrict__ eb = e.data();
+  int* __restrict__ fb = f.data();
+  int* __restrict__ mb = m.data();
+  const int goge = kGapOpen + kGapExtend;
   for (int i = 1; i <= lenp; ++i) {
     int start = i - leftBand < 1 ? 1 : i - leftBand;
     int end = i + rightBand > lent ? lent : i + rightBand;
     long row = (long)i * W;
     long prow = row - W;
-    if (start > 1) e[row + start - 1] = f[row + start - 1] = m[row + start - 1] = negInf;
-    if (end < lent) e[row + end + 1] = f[row + end + 1] = m[row + end + 1] = negInf;
+    if (start > 1) eb[row + start - 1] = fb[row + start - 1] = mb[row + start - 1] = negInf;
+    if (end < lent) eb[row + end + 1] = fb[row + end + 1] = mb[row + end + 1] = negInf;
+    // Register-carried neighbors: fJm1/mJm1 are this row's previous
+    // cell (computed last iteration), mUpJm1 is the up-row value loaded
+    // last iteration -- identical arithmetic, fewer memory reads.
+    int fJm1 = fb[row + start - 1];
+    int mJm1 = mb[row + start - 1];
+    int mUpJm1 = mb[prow + start - 1];
+    const int8_t pc = p[i - 1];
     for (int j = start; j <= end; ++j) {
-      int ev = e[prow + j] + kGapExtend;
-      int t2 = m[prow + j] + kGapOpen + kGapExtend;
+      int eUp = eb[prow + j];
+      int mUp = mb[prow + j];
+      int ev = eUp + kGapExtend;
+      int t2 = mUp + goge;
       if (t2 > ev) ev = t2;
-      e[row + j] = ev;
-      int fv = f[row + j - 1] + kGapExtend;
-      t2 = m[row + j - 1] + kGapOpen + kGapExtend;
+      eb[row + j] = ev;
+      int fv = fJm1 + kGapExtend;
+      t2 = mJm1 + goge;
       if (t2 > fv) fv = t2;
-      f[row + j] = fv;
-      int mv = m[prow + j - 1] + (BaseEq(t[j - 1], p[i - 1]) ? kMatch : kMismatch);
+      fb[row + j] = fv;
+      int mv = mUpJm1 + (BaseEq(t[j - 1], pc) ? kMatch : kMismatch);
       if (ev > mv) mv = ev;
       if (fv > mv) mv = fv;
-      m[row + j] = mv;
+      mb[row + j] = mv;
+      fJm1 = fv;
+      mJm1 = mv;
+      mUpJm1 = mUp;
     }
   }
   int ti = lenp, tj = lent;
@@ -481,6 +552,8 @@ struct EngineProfile {
       extMemoHits{0};
   // rdtsc sub-phase cycles inside the extension loop
   std::atomic<int64_t> cycGeom{0}, cycStats{0}, cycCombine{0};
+  // StatsMemo internals: hashing vs miss-DP split + hashed-window bytes
+  std::atomic<int64_t> cycMemoHash{0}, cycMemoMissDP{0}, memoBytes{0};
   // rdtsc sub-phase cycles inside BuildOverlaps
   std::atomic<int64_t> cycMemoProbe{0}, cycReplay{0}, cycCluster{0},
       cycRecord{0};
@@ -1132,27 +1205,39 @@ struct StatsMemo {
   uint32_t gen = 0;
 
   static uint64_t Hash(const int8_t* t, int tLen, int pOff, int pLen) {
-    // FNV over 8-byte chunks: window contents are hashed for every
-    // candidate allele, so the per-byte loop was hot
+    // O(1) sampled content hash: first/middle/last 8-byte windows plus
+    // the lengths.  Distinct contents that sample equal merely extend
+    // the probe chain (every candidate hit is confirmed by memcmp), so
+    // correctness is unaffected; identical contents always hash equal.
     uint64_t h = 1469598103934665603ull;
     h = (h ^ (uint64_t)pOff) * 1099511628211ull;
     h = (h ^ (uint64_t)pLen) * 1099511628211ull;
-    int i = 0;
-    for (; i + 8 <= tLen; i += 8) {
-      uint64_t w;
-      std::memcpy(&w, t + i, 8);
-      h = (h ^ w) * 1099511628211ull;
+    h = (h ^ (uint64_t)tLen) * 1099511628211ull;
+    uint64_t a = 0, b = 0, c = 0;
+    if (tLen >= 8) {
+      std::memcpy(&a, t, 8);
+      std::memcpy(&b, t + tLen - 8, 8);
+      if (tLen > 16) std::memcpy(&c, t + tLen / 2 - 4, 8);
+    } else {
+      for (int i = 0; i < tLen; ++i) a = (a << 8) | (uint8_t)t[i];
     }
-    uint64_t tail = 0;
-    for (; i < tLen; ++i) tail = (tail << 8) | (uint8_t)t[i];
-    return (h ^ tail) * 1099511628211ull;
+    h = (h ^ a) * 1099511628211ull;
+    h = (h ^ b) * 1099511628211ull;
+    h = (h ^ c) * 1099511628211ull;
+    return h;
   }
 
   void Clear() { ++gen; }
 
   int Get(const int8_t* t, int tLen, const int8_t* p, int pOff, int pLen,
           AlignScratch* scratch) {
+    const bool prof = EngineProfile::Enabled();
+    int64_t h0 = prof ? (int64_t)__builtin_ia32_rdtsc() : 0;
     uint64_t h = Hash(t, tLen, pOff, pLen);
+    if (prof) {
+      gProf.cycMemoHash += (int64_t)__builtin_ia32_rdtsc() - h0;
+      gProf.memoBytes += tLen;
+    }
     size_t mask = slots.size() - 1;
     size_t i = h & mask;
     size_t probes = 0;
@@ -1165,8 +1250,10 @@ struct StatsMemo {
         e.tLen = tLen;
         e.pOff = pOff;
         e.pLen = pLen;
+        int64_t d0 = prof ? (int64_t)__builtin_ia32_rdtsc() : 0;
         e.match =
             BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+        if (prof) gProf.cycMemoMissDP += (int64_t)__builtin_ia32_rdtsc() - d0;
         return e.match;
       }
       if (e.h == h && e.tLen == tLen && e.pOff == pOff && e.pLen == pLen &&
@@ -2491,6 +2578,13 @@ int64_t t1k_assign_batch(void* ep, const int8_t* read_codes,
             t1k::gProf.cycGeom.load() / 1e9,
             t1k::gProf.cycStats.load() / 1e9,
             t1k::gProf.cycCombine.load() / 1e9);
+    fprintf(stderr,
+            "[engine] memoCyc hash=%.2fG missDP=%.2fG bytes=%.2fG "
+            "diagFast=%lld\n",
+            t1k::gProf.cycMemoHash.load() / 1e9,
+            t1k::gProf.cycMemoMissDP.load() / 1e9,
+            t1k::gProf.memoBytes.load() / 1e9,
+            (long long)t1k::gDiagFast.load());
     fprintf(stderr,
             "[engine] chainCyc probe=%.2fG replay=%.2fG cluster=%.2fG "
             "record=%.2fG\n",
