@@ -220,6 +220,99 @@ struct EditStats {
   int match = 0, mismatch = 0, indel = 0;
 };
 
+// Small-window stats DP: same arithmetic/quirks as the generic version
+// below but with a compile-time stride and stack state, which lets the
+// compiler fold all addressing — the overhang/gap windows this serves
+// are mostly <= 16bp, where fixed overhead dominates the fill.
+static EditStats BandedGlobalAlignStatsSmall(const int8_t* t, int lent,
+                                             const int8_t* p, int lenp,
+                                             int band) {
+  EditStats st;
+  constexpr long W = 32;
+  int leftBand = band, rightBand = band;
+  if (lent > lenp) rightBand += lent - lenp;
+  else if (lent < lenp) leftBand += lenp - lent;
+  const int negInf = (lent + 1) * (lenp + 1) * kGapOpen;
+  int m[32 * 32], e[32 * 32], f[32 * 32];
+  m[0] = e[0] = f[0] = 0;
+  const int initRows = lenp < leftBand + 1 ? lenp : leftBand + 1;
+  const int initCols = lent < rightBand + 1 ? lent : rightBand + 1;
+  for (int i = 1; i <= initRows; ++i) {
+    e[i * W] = kGapOpen + i * kGapExtend;
+    f[i * W] = kGapOpen + i * kGapOpen;
+    m[i * W] = kGapOpen + i * kGapOpen;
+  }
+  for (int j = 1; j <= initCols; ++j) {
+    f[j] = kGapOpen + j * kGapExtend;
+    e[j] = kGapOpen + (lenp + 1) * kGapOpen;
+    m[j] = kGapOpen + j * kGapOpen;
+  }
+  const int goge = kGapOpen + kGapExtend;
+  for (int i = 1; i <= lenp; ++i) {
+    int start = i - leftBand < 1 ? 1 : i - leftBand;
+    int end = i + rightBand > lent ? lent : i + rightBand;
+    long row = i * W;
+    long prow = row - W;
+    if (start > 1) e[row + start - 1] = f[row + start - 1] = m[row + start - 1] = negInf;
+    if (end < lent) e[row + end + 1] = f[row + end + 1] = m[row + end + 1] = negInf;
+    int fJm1 = f[row + start - 1];
+    int mJm1 = m[row + start - 1];
+    int mUpJm1 = m[prow + start - 1];
+    const int8_t pc = p[i - 1];
+    for (int j = start; j <= end; ++j) {
+      int eUp = e[prow + j];
+      int mUp = m[prow + j];
+      int ev = eUp + kGapExtend;
+      int t2 = mUp + goge;
+      if (t2 > ev) ev = t2;
+      e[row + j] = ev;
+      int fv = fJm1 + kGapExtend;
+      t2 = mJm1 + goge;
+      if (t2 > fv) fv = t2;
+      f[row + j] = fv;
+      int mv = mUpJm1 + (BaseEq(t[j - 1], pc) ? kMatch : kMismatch);
+      if (ev > mv) mv = ev;
+      if (fv > mv) mv = fv;
+      m[row + j] = mv;
+      fJm1 = fv;
+      mJm1 = mv;
+      mUpJm1 = mUp;
+    }
+  }
+  int ti = lenp, tj = lent;
+  int state = 0;
+  while (ti > 0 || tj > 0) {
+    long cell = ti * W + tj;
+    if (state == 0) {
+      int a = kEditInsert;
+      if (f[cell] >= e[cell]) a = kEditDelete;
+      bool eq = false;
+      if (ti > 0 && tj > 0) {
+        eq = BaseEq(t[tj - 1], p[ti - 1]);
+        if (m[cell - W - 1] + (eq ? kMatch : kMismatch) == m[cell])
+          a = eq ? kEditMatch : kEditMismatch;
+      }
+      if (a == kEditMatch) { ++st.match; --ti; --tj; }
+      else if (a == kEditMismatch) { ++st.mismatch; --ti; --tj; }
+      else if (a == kEditInsert) state = 1;
+      else state = 2;
+    } else if (state == 1) {
+      ++st.indel;
+      if (ti > 0) {
+        if (m[cell - W] + kGapOpen + kGapExtend == e[cell]) state = 0;
+        --ti;
+      } else state = 2;
+    } else {
+      ++st.indel;
+      if (tj > 0) {
+        if (m[cell - 1] + kGapOpen + kGapExtend == f[cell]) state = 0;
+        --tj;
+      } else state = 1;
+    }
+  }
+  return st;
+}
+
 // Traceback counting only — identical walk to BandedGlobalAlign but
 // without materializing the edit string (used for gap fill / extension
 // where only the counts feed the score bookkeeping).
@@ -247,6 +340,8 @@ static EditStats BandedGlobalAlignStats(const int8_t* t, int lent,
       return st;
     }
   }
+  if (lent <= 31 && lenp <= 31 && band == 5)
+    return BandedGlobalAlignStatsSmall(t, lent, p, lenp, band);
   // fill phase shared with the full version
   static thread_local std::vector<int8_t> tmp;
   // (reuse the full routine's fill by calling it with a scratch edit
@@ -794,11 +889,22 @@ struct GroupMemo {
   }
 
   static uint64_t Hash(const Hit* h, int n, int32_t base) {
+    // O(1) sampled hash over the group's (roff, soff-base) words:
+    // count + first/middle/last two.  Groups that sample equal but
+    // differ elsewhere fail the full per-hit verify below and fall
+    // through to a recompute — results are identical either way, so
+    // only hash cost and chain length change.
+    auto word = [&](int i) {
+      return ((uint64_t)(uint32_t)h[i].roff << 32) |
+             (uint32_t)(h[i].soff - base);
+    };
     uint64_t x = 1469598103934665603ull;
-    for (int i = 0; i < n; ++i) {
-      uint64_t w = ((uint64_t)(uint32_t)h[i].roff << 32) |
-                   (uint32_t)(h[i].soff - base);
-      x = (x ^ w) * 1099511628211ull;
+    x = (x ^ (uint64_t)n) * 1099511628211ull;
+    int idx[6] = {0, 1, n / 2, n / 2 + 1, n - 2, n - 1};
+    for (int q = 0; q < 6; ++q) {
+      int i = idx[q];
+      if (i < 0 || i >= n) continue;
+      x = (x ^ word(i)) * 1099511628211ull;
     }
     return x;
   }
@@ -883,13 +989,14 @@ static void BuildOverlaps(Engine& eng, const std::vector<Hit>& hits,
               o.seqEnd += base;
               overlaps->push_back(o);
               auto sp = memo.seedSpan[e.ovStart + t];
-              overlapSeeds->span.emplace_back(
-                  (int32_t)overlapSeeds->flat.size(), sp.second);
-              for (int q = 0; q < sp.second; ++q) {
-                Seed s = memo.seedArena[sp.first + q];
-                s.b += base;
-                overlapSeeds->flat.push_back(s);
-              }
+              std::vector<Seed>& flat = overlapSeeds->flat;
+              overlapSeeds->span.emplace_back((int32_t)flat.size(),
+                                              sp.second);
+              // bulk copy, then rebase the seq offsets in place
+              flat.insert(flat.end(), memo.seedArena.begin() + sp.first,
+                          memo.seedArena.begin() + sp.first + sp.second);
+              Seed* dst = flat.data() + flat.size() - sp.second;
+              for (int q = 0; q < sp.second; ++q) dst[q].b += base;
             }
             replayed = true;
             break;
