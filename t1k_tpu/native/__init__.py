@@ -100,6 +100,10 @@ _lib.t1k_align_global.restype = ct.c_int32
 _lib.t1k_align_global.argtypes = [
     _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i8p,
 ]
+_lib.t1k_align_stats.restype = None
+_lib.t1k_align_stats.argtypes = [
+    _c_i8p, ct.c_int32, _c_i8p, ct.c_int32, ct.c_int32, _c_i32p,
+]
 _lib.t1k_align_global_batch.argtypes = [
     _c_i8p, _c_i64p, _c_i32p, _c_i8p, _c_i64p, _c_i32p, _c_i64p,
     ct.c_int64, ct.c_int32, _c_i8p, _c_i32p,
@@ -179,6 +183,20 @@ def align_global(t: np.ndarray, p: np.ndarray, band: int = 5) -> Tuple[int, np.n
     score = _lib.t1k_align_global(t, len(t), p, len(p), band, out)
     n = int(np.argmax(out == -1))
     return score, out[:n]
+
+
+def align_stats(t: np.ndarray, p: np.ndarray,
+                band: int = 5) -> Tuple[int, int, int]:
+    """Count-only banded alignment; returns (match, mismatch, indel).
+
+    Same walk as `align_global` without materializing the edit string —
+    this is the kernel behind the engine's gap-fill/overhang scoring
+    (and its <=31bp stack-state fast path)."""
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    p = np.ascontiguousarray(p, dtype=np.int8)
+    out = np.zeros(3, dtype=np.int32)
+    _lib.t1k_align_stats(t, len(t), p, len(p), band, out)
+    return int(out[0]), int(out[1]), int(out[2])
 
 
 class NativeEngine:

@@ -2761,6 +2761,18 @@ int32_t t1k_align_global(const int8_t* t, int32_t lent, const int8_t* p,
   return score;
 }
 
+// Test hook for the stats (count-only) DP: writes {match, mismatch,
+// indel} to out[0..2].  Exercises the same dispatch the engine uses
+// (small stack-state kernel for windows <= 31bp, generic otherwise).
+void t1k_align_stats(const int8_t* t, int32_t lent, const int8_t* p,
+                     int32_t lenp, int32_t band, int32_t* out) {
+  t1k::AlignScratch scr;
+  t1k::EditStats st = t1k::BandedGlobalAlignStats(t, lent, p, lenp, band, &scr);
+  out[0] = st.match;
+  out[1] = st.mismatch;
+  out[2] = st.indel;
+}
+
 // Batched banded global alignments: pair i aligns tcat[toff[i] ..
 // toff[i]+tlen[i]) against pcat[poff[i] .. poff[i]+plen[i]); the edit
 // walk is written at align_cat[aoff[i]] (caller reserves

@@ -53,3 +53,35 @@ def test_align_empty_and_single():
     # N matches anything in the single-base case
     score, edits = align_global(encode_seq("N"), encode_seq("C"))
     assert score == 2 and list(edits) == [0]
+
+
+def test_align_stats_matches_walk_counts():
+    """The count-only stats kernel must agree with the edit-walk kernel
+    on every window shape, including across the <=31bp stack-state
+    dispatch boundary (engine.cc BandedGlobalAlignStatsSmall)."""
+    from t1k_tpu.native import align_stats
+    import numpy as np
+
+    rng = np.random.default_rng(20260821)
+    bases = "ACGTN"
+    mismatches = []
+    for trial in range(1500):
+        # sizes straddle the small-kernel cap (31) on both sides
+        lent = int(rng.integers(1, 41))
+        # keep |dlen| modest like the engine's gap/overhang windows
+        lenp = max(1, lent + int(rng.integers(-4, 5)))
+        t = "".join(rng.choice(list(bases), p=[0.24, 0.24, 0.24, 0.24, 0.04])
+                    for _ in range(lent))
+        # derive p from t with point edits so alignments are nontrivial
+        p = list(t[:lenp].ljust(lenp, "A"))
+        for _ in range(int(rng.integers(0, 4))):
+            q = int(rng.integers(0, lenp))
+            p[q] = bases[int(rng.integers(0, 4))]
+        p = "".join(p)
+        _, edits = align_global(encode_seq(t), encode_seq(p))
+        want = (int((edits == 0).sum()), int((edits == 1).sum()),
+                int(((edits == 2) | (edits == 3)).sum()))
+        got = align_stats(encode_seq(t), encode_seq(p))
+        if got != want:
+            mismatches.append((t, p, want, got))
+    assert not mismatches, f"{len(mismatches)}; first: {mismatches[0]}"
