@@ -1310,6 +1310,13 @@ struct StatsMemo {
   };
   std::vector<Entry> slots = std::vector<Entry>(1 << 12);
   uint32_t gen = 0;
+  // One-entry front cache: ext-loop queries arrive in allele order and
+  // adjacent alleles usually present byte-identical windows at the same
+  // geometry, so the immediately preceding query repeats constantly.
+  // Keyed exactly like the table (content + pOff/pLen), so correctness
+  // is unchanged; it only skips the hash+probe.
+  const int8_t* lastT = nullptr;
+  int32_t lastTLen = -1, lastPOff = -1, lastPLen = -1, lastMatch = 0;
 
   static uint64_t Hash(const int8_t* t, int tLen, int pOff, int pLen) {
     // O(1) sampled content hash: first/middle/last 8-byte windows plus
@@ -1334,10 +1341,24 @@ struct StatsMemo {
     return h;
   }
 
-  void Clear() { ++gen; }
+  void Clear() {
+    ++gen;
+    lastTLen = -1;  // the p side changes with the read: drop the front cache
+  }
+
+  void Remember(const int8_t* t, int tLen, int pOff, int pLen, int match) {
+    lastT = t;
+    lastTLen = tLen;
+    lastPOff = pOff;
+    lastPLen = pLen;
+    lastMatch = match;
+  }
 
   int Get(const int8_t* t, int tLen, const int8_t* p, int pOff, int pLen,
           AlignScratch* scratch) {
+    if (tLen == lastTLen && pOff == lastPOff && pLen == lastPLen &&
+        (t == lastT || std::memcmp(t, lastT, tLen) == 0))
+      return lastMatch;
     const bool prof = EngineProfile::Enabled();
     int64_t h0 = prof ? (int64_t)__builtin_ia32_rdtsc() : 0;
     uint64_t h = Hash(t, tLen, pOff, pLen);
@@ -1361,17 +1382,21 @@ struct StatsMemo {
         e.match =
             BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
         if (prof) gProf.cycMemoMissDP += (int64_t)__builtin_ia32_rdtsc() - d0;
+        Remember(t, tLen, pOff, pLen, e.match);
         return e.match;
       }
       if (e.h == h && e.tLen == tLen && e.pOff == pOff && e.pLen == pLen &&
           (e.t == t || std::memcmp(e.t, t, tLen) == 0)) {
         if (EngineProfile::Enabled()) ++gProf.extMemoHits;
+        Remember(t, tLen, pOff, pLen, e.match);
         return e.match;
       }
       i = (i + 1) & mask;
       if (++probes > slots.size() / 2) {
         // table saturated for this read: fall through uncached
-        return BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+        int match = BandedGlobalAlignStats(t, tLen, p, pLen, 5, scratch).match;
+        Remember(t, tLen, pOff, pLen, match);
+        return match;
       }
     }
   }
