@@ -69,33 +69,6 @@ class GenotypeOptions:
     device_candidates: bool = False
 
 
-_rtt_cache: Optional[float] = None
-
-
-def device_rtt_ms() -> float:
-    """Median host<->device round-trip of a tiny transfer (no compile).
-
-    Locally attached TPUs answer in well under a millisecond; a chip
-    behind a network relay (development rigs) pays tens of milliseconds
-    per dispatch plus seconds of per-session execution setup.  The
-    deferred-DP offload trades host DP time for per-chunk round trips,
-    so this latency decides whether it can win at all."""
-    global _rtt_cache
-    if _rtt_cache is not None:
-        return _rtt_cache
-    import jax
-    import numpy as np
-
-    x = np.zeros(8, np.int32)
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_put(x))
-        samples.append((time.perf_counter() - t0) * 1e3)
-    _rtt_cache = sorted(samples)[1]
-    return _rtt_cache
-
-
 def _probe_device(rtt_limit_ms: Optional[float]) -> bool:
     """Subprocess probe of the attached accelerator, with retry/backoff.
 

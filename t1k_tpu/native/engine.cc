@@ -18,6 +18,7 @@
 
 #include <array>
 #include <atomic>
+#include <cassert>
 #include <chrono>
 #include <cstdint>
 #include <cstdlib>
@@ -87,6 +88,8 @@ static int BandedGlobalAlign(const int8_t* t, int lent, const int8_t* p,
     while (i < lent && BaseEq(t[i], p[i])) ++i;
     if (i == lent) {
       edits->assign(lent, kEditMatch);
+      static const bool prof = std::getenv("T1K_ENGINE_PROFILE") != nullptr;
+      if (prof) gDiagFast.fetch_add(1, std::memory_order_relaxed);
       return lent * kMatch;
     }
   }
@@ -229,6 +232,10 @@ static EditStats BandedGlobalAlignStatsSmall(const int8_t* t, int lent,
                                              int band) {
   EditStats st;
   constexpr long W = 32;
+  // The 32x32 stack arrays admit lengths <= 31 only; callers dispatch on
+  // that condition, and this guard keeps a future direct caller from
+  // silently corrupting the stack.
+  assert(lent <= 31 && lenp <= 31);
   int leftBand = band, rightBand = band;
   if (lent > lenp) rightBand += lent - lenp;
   else if (lent < lenp) leftBand += lenp - lent;
@@ -1317,6 +1324,14 @@ struct StatsMemo {
   // is unchanged; it only skips the hash+probe.
   const int8_t* lastT = nullptr;
   int32_t lastTLen = -1, lastPOff = -1, lastPLen = -1, lastMatch = 0;
+#ifndef NDEBUG
+  // Both the slot table and the front cache key on (t content, pOff,
+  // pLen) and NOT on p content: correctness depends on the invariant
+  // that p is one fixed buffer (one strand of one read) between Clear()
+  // calls.  Debug builds pin the invariant by recording the p pointer
+  // per generation and asserting it never changes.
+  const int8_t* genP = nullptr;
+#endif
 
   static uint64_t Hash(const int8_t* t, int tLen, int pOff, int pLen) {
     // O(1) sampled content hash: first/middle/last 8-byte windows plus
@@ -1344,6 +1359,9 @@ struct StatsMemo {
   void Clear() {
     ++gen;
     lastTLen = -1;  // the p side changes with the read: drop the front cache
+#ifndef NDEBUG
+    genP = nullptr;
+#endif
   }
 
   void Remember(const int8_t* t, int tLen, int pOff, int pLen, int match) {
@@ -1356,10 +1374,21 @@ struct StatsMemo {
 
   int Get(const int8_t* t, int tLen, const int8_t* p, int pOff, int pLen,
           AlignScratch* scratch) {
-    if (tLen == lastTLen && pOff == lastPOff && pLen == lastPLen &&
-        (t == lastT || std::memcmp(t, lastT, tLen) == 0))
-      return lastMatch;
+#ifndef NDEBUG
+    // Callers pass the window start p = base + pOff; the keying
+    // invariant is that the BASE buffer (one strand of one read) is
+    // fixed between Clear() calls, so content at a given pOff never
+    // changes within a generation.
+    if (genP == nullptr) genP = p - pOff;
+    assert(genP == p - pOff &&
+           "StatsMemo: p must come from one base buffer per generation");
+#endif
     const bool prof = EngineProfile::Enabled();
+    if (tLen == lastTLen && pOff == lastPOff && pLen == lastPLen &&
+        (t == lastT || std::memcmp(t, lastT, tLen) == 0)) {
+      if (prof) ++gProf.extMemoHits;  // front-cache hits count as memo hits
+      return lastMatch;
+    }
     int64_t h0 = prof ? (int64_t)__builtin_ia32_rdtsc() : 0;
     uint64_t h = Hash(t, tLen, pOff, pLen);
     if (prof) {

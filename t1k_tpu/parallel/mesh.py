@@ -140,6 +140,7 @@ def em_quantify_sharded_squarem(
     max_iterations: int = 1000,
     axis: str = "dp",
     dtype=None,
+    single_dispatch: Optional[bool] = None,
 ):
     """The PRODUCTION multi-chip quantification: the full SQUAREM loop —
     3 EM updates + extrapolation per round, L1 convergence at 1e-5 with
@@ -152,11 +153,17 @@ def em_quantify_sharded_squarem(
     device EM (ops/em.py) and the native f64 loop's iteration count
     (tests/test_device_ops.py::test_sharded_squarem_matches_native).
 
-    Rounds are advanced by a host loop with one shard_mapped jitted
-    round per step: a psum inside a device-side while_loop deadlocks on
-    the virtual CPU mesh used for dry runs, and the per-round dispatch
-    is dwarfed by the E-step work on real hardware.  Returns
-    (iterations, ec_read_count[f64])."""
+    Dispatch model (single_dispatch=None resolves by platform): on real
+    TPU meshes the ENTIRE convergence loop runs as ONE jitted
+    shard_mapped `lax.while_loop` with the psum inside — no per-round
+    host dispatch, matching the reference's run-to-convergence loop
+    (Genotyper.hpp:1234-1290) and the single-device path (ops/em.py
+    _squarem_while).  On the virtual multi-device CPU backend used for
+    dry runs a psum inside a device-side while_loop deadlocks, so there
+    rounds are advanced by a host loop with one shard_mapped jitted
+    round per step (correctness-identical: the loop state is replicated
+    and deterministic, so every shard agrees on the trip count).
+    Returns (iterations, ec_read_count[f64])."""
     import jax.numpy as jnp
 
     from ..ops.em import (_make_mask_reset, _pack_ec_tables, segment_bounds,
@@ -183,23 +190,11 @@ def em_quantify_sharded_squarem(
         jnp.asarray(allele_major, jnp.int32), gene_cnt, major_cnt,
         float(filter_frac))
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(),
-                  P(axis, None), P(axis, None), P(axis, None), P(axis, None),
-                  P(axis, None), P(axis, None), P(axis, None), P(axis, None),
-                  P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    def round_step(t, x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
-                   ece_s, ec_len_r):
-        sec_f = sec_s.reshape(-1)          # EC ids in read-group order
-        secs_f = secs_s.reshape(-1)        # EC ids in EC-sorted order
-        srgo_f = srgo_s.reshape(-1)        # read-group id per EC-sorted entry
-        ctso_f = ctso_s.reshape(-1)
-        rgs_f, rge_f = rgs_s.reshape(-1), rge_s.reshape(-1)
-        ecs_f, ece_f = ecs_s.reshape(-1), ece_s.reshape(-1)
+    def shard_round(t, x, sec_f, secs_f, srgo_f, ctso_f, rgs_f, rge_f,
+                    ecs_f, ece_f, ec_len_r):
+        """One SQUAREM round on one shard's flat incidence arrays
+        (Genotyper.hpp:1234-1290); the psum inside em_update is the only
+        collective."""
 
         def em_update(xk):
             # E-step: per-read-group normalizers are shard-local (whole
@@ -213,7 +208,6 @@ def em_quantify_sharded_squarem(
             x1 = per_len / per_len.sum()
             return x1, count
 
-        # one SQUAREM round (Genotyper.hpp:1234-1290)
         x1, _ = em_update(x)
         x2, _ = em_update(x1)
         r = x1 - x
@@ -235,7 +229,54 @@ def em_quantify_sharded_squarem(
         x_next = jnp.where(do_mask, mask_reset(count), x1b)
         return t + 1, x_next, count
 
-    round_step = jax.jit(round_step)
+    shard_specs = (P(axis, None),) * 8
+    data_in_specs = shard_specs + (P(),)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P()) + data_in_specs,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def round_step(t, x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
+                   ece_s, ec_len_r):
+        return shard_round(
+            t, x, sec_s.reshape(-1), secs_s.reshape(-1), srgo_s.reshape(-1),
+            ctso_s.reshape(-1), rgs_s.reshape(-1), rge_s.reshape(-1),
+            ecs_s.reshape(-1), ece_s.reshape(-1), ec_len_r)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=data_in_specs,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def full_loop(sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
+                  ece_s, ec_len_r):
+        # SINGLE dispatch: the whole convergence loop on device, psum
+        # inside the while body.  Loop state (t, x, count, round count)
+        # is computed identically on every shard from replicated inputs,
+        # so all shards agree on the trip count and the psums pair up.
+        flat = (sec_s.reshape(-1), secs_s.reshape(-1), srgo_s.reshape(-1),
+                ctso_s.reshape(-1), rgs_s.reshape(-1), rge_s.reshape(-1),
+                ecs_s.reshape(-1), ece_s.reshape(-1), ec_len_r)
+
+        def body(state):
+            t, x, _, rounds = state
+            t1, x1, count = shard_round(t, x, *flat)
+            return t1, x1, count, rounds + 1
+
+        def cond(state):
+            return state[0] < max_iterations
+
+        ec_cnt_l = ec_len_r.shape[0]
+        state0 = (jnp.zeros((), jnp.int32),
+                  jnp.asarray(init_x, dtype),
+                  jnp.zeros(ec_cnt_l, dtype),
+                  jnp.zeros((), jnp.int32))
+        t, x, count, rounds = jax.lax.while_loop(cond, body, state0)
+        return rounds, x, count
+
     shard2 = NamedSharding(mesh, P(axis, None))
     repl = NamedSharding(mesh, P())
     args = tuple(
@@ -243,6 +284,12 @@ def em_quantify_sharded_squarem(
         for a in (sec, secs_sorted, srgo, ctso.astype(np.float64), srgs,
                   srge, secs, sece))
     ec_len_d = jax.device_put(jnp.asarray(ec_len, dtype), repl)
+    if single_dispatch is None:
+        single_dispatch = mesh.devices.flat[0].platform != "cpu"
+    if single_dispatch:
+        rounds, _, count = jax.jit(full_loop)(*args, ec_len_d)
+        return int(rounds), np.asarray(count, np.float64)
+    round_step = jax.jit(round_step)
     x = jax.device_put(jnp.asarray(init_x, dtype), repl)
     t = jax.device_put(jnp.zeros((), jnp.int32), repl)
     count = None

@@ -191,6 +191,37 @@ def test_sharded_squarem_matches_native():
                                rtol=2e-3, atol=1e-3)
 
 
+def test_sharded_squarem_single_dispatch_matches_host_loop():
+    """The single-dispatch production path (whole convergence loop as ONE
+    shard_mapped while_loop with the psum inside — what real TPU meshes
+    run) follows the same trajectory as the per-round host loop used by
+    the virtual-CPU dryrun.  A 1-device mesh sidesteps the CPU-backend
+    psum-in-while deadlock while still exercising the shard_map +
+    while_loop + psum program."""
+    from t1k_tpu.native import em_quantify
+    from t1k_tpu.parallel.mesh import data_mesh, em_quantify_sharded_squarem
+
+    args = _em_inputs()
+    it_native, count_native = em_quantify(**args)
+
+    rg_off, rg_ecs = args["rg_ecs_csr"]
+    rg_cnt = len(args["rg_counts"])
+    seg_rg = np.repeat(np.arange(rg_cnt), np.diff(rg_off)).astype(np.int32)
+    common = (data_mesh(1), seg_rg, np.asarray(rg_ecs, np.int32),
+              np.asarray(args["rg_counts"], np.float64), rg_cnt,
+              args["ec_to_alleles"], args["allele_eff_len"],
+              args["allele_weight"], args["allele_gene"], args["allele_major"],
+              args["n_genes"], args["n_majors"])
+    it_one, count_one = em_quantify_sharded_squarem(
+        *common, single_dispatch=True)
+    it_host, count_host = em_quantify_sharded_squarem(
+        *common, single_dispatch=False)
+    assert it_one == it_host == it_native
+    np.testing.assert_allclose(count_one, count_host, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(count_one, count_native,
+                               rtol=2e-3, atol=1e-3)
+
+
 def test_band_pallas_interpret_matches():
     from t1k_tpu.ops.align_pallas_band import banded_scores_band
 
