@@ -175,31 +175,41 @@ def run_extractor(
         device_screen = DeviceScreen.build(
             packed, kmer_length, hit_len, opts.ref_seq_similarity)
 
-    # Screen: low-complexity prefilter, then batched k-mer chained screen.
+    # Screen: low-complexity prefilter, then batched k-mer chained
+    # screen.  The whole chunk is encoded ONCE and the low-complexity
+    # rule evaluated vectorized (a per-read numpy call costs ~15us of
+    # fixed overhead — 0.3s per 20k reads).
     def screen(recs: List[SeqRecord]) -> np.ndarray:
-        flags = np.zeros(len(recs), dtype=np.uint8)
-        todo = [i for i, r in enumerate(recs) if not is_low_complexity(r.seq)]
-        if todo and device_screen is not None:
-            max_len = max(len(recs[i].seq) for i in todo)
+        n = len(recs)
+        flags = np.zeros(n, dtype=np.uint8)
+        if n == 0:
+            return flags
+        codes_cat = encode_seq("".join(r.seq for r in recs))
+        lens_all = np.array([len(r.seq) for r in recs], dtype=np.int64)
+        starts_all = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens_all[:-1], out=starts_all[1:])
+        seg = np.repeat(np.arange(n), lens_all)
+        lc = low_complexity_flags(codes_cat, seg, lens_all)
+        todo = np.flatnonzero(~lc)
+        if len(todo) and device_screen is not None:
+            max_len = int(lens_all[todo].max())
             padded = np.full((len(todo), max_len), 4, dtype=np.int8)
-            plens = np.zeros(len(todo), dtype=np.int32)
+            plens = lens_all[todo].astype(np.int32)
             for j, i in enumerate(todo):
-                c = encode_seq(recs[i].seq)
-                padded[j, :len(c)] = c
-                plens[j] = len(c)
+                padded[j, :lens_all[i]] = (
+                    codes_cat[starts_all[i]:starts_all[i] + lens_all[i]])
             verdict, dec = device_screen.screen(padded, plens)
-            for j, i in enumerate(todo):
-                if dec[j]:
-                    flags[i] = verdict[j]
-            todo = [i for j, i in enumerate(todo) if not dec[j]]
-        if todo:
-            codes = np.concatenate([encode_seq(recs[i].seq) for i in todo])
-            lens = np.array([len(recs[i].seq) for i in todo], dtype=np.int32)
+            flags[todo[dec]] = verdict[dec]
+            todo = todo[~dec]
+        if len(todo):
+            codes = np.concatenate(
+                [codes_cat[starts_all[i]:starts_all[i] + lens_all[i]]
+                 for i in todo])
+            lens = lens_all[todo].astype(np.int32)
             starts = np.zeros(len(lens), dtype=np.int64)
             starts[1:] = np.cumsum(lens[:-1])
             sub = engine.screen_batch(codes, starts, lens)
-            for j, i in enumerate(todo):
-                flags[i] = sub[j]
+            flags[todo] = sub
         return flags
 
     # Outputs (opened up front; chunks append in input order).
