@@ -133,6 +133,7 @@ def main():
         device_metrics["band_kernel"] = run_device_bench("aligner_kernel.py")
         device_metrics["device_em"] = run_device_bench("em_iters.py")
         device_metrics["device_screen"] = run_device_bench("kmer_screen.py")
+        device_metrics["sharded_em"] = run_device_bench("sharded_em.py")
     else:
         device_metrics["status"] = "device unreachable; no TPU metrics"
 

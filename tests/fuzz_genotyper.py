@@ -158,6 +158,13 @@ def run_case(seed):
     # T1K_FUZZ_EXTRA_ARGS="--backend tpu" fuzzes the deferred-DP path
     # (Pallas kernel in interpret mode on CPU — identical results)
     extra = os.environ.get("T1K_FUZZ_EXTRA_ARGS", "").split()
+    # Randomly exercise the device candidate-pruning path too (exact
+    # pre-DP chain filters on the keep set, ops/phase_a.py
+    # DeviceCandidates) — byte-identical by construction across every
+    # mode this harness generates: DNA with separator clipping,
+    # --relaxIntronAlign, single-end, RNA (SeqSet.hpp:2005-2051).
+    if rng.random() < 0.4 and "--deviceCandidates" not in extra:
+        extra = extra + ["--deviceCandidates"]
     rc = gmain(["-f", panel, "-o", minep, "--outputReadAssignment"]
                + args + inp + extra)
     if rc != 0:
