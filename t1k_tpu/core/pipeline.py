@@ -56,7 +56,14 @@ class GenotypeOptions:
     # the descriptor service) and "native" otherwise; both are
     # byte-identical.
     backend: str = "auto"
-    defer_chunk: int = 8192  # tpu backend: reads per deferred-DP cycle
+    # tpu backend: reads per deferred-DP cycle.  2048 keeps each chunk's
+    # flat SoA arenas (~90MB of overlaps at HLA overlap density)
+    # cache/TLB-friendly for the finish pass: measured host half 9.8s vs
+    # 18.8s at 8192 and 40.7s unchunked at HLA scale
+    # (benchmarks/defer_host.py) — BELOW the inline path's ~12s non-DP
+    # bookkeeping, which flips the offload from a structural loss to a
+    # win wherever device scoring pipelines under the begin pass.
+    defer_chunk: int = 2048
     em_backend: str = "auto"
     # Phase-A-lite: the device pre-computes each read's surviving
     # candidate (strand, seq) buckets (ops/phase_a.py DeviceCandidates,

@@ -108,6 +108,11 @@ _lib.t1k_align_global_batch.argtypes = [
     _c_i8p, _c_i64p, _c_i32p, _c_i8p, _c_i64p, _c_i32p, _c_i64p,
     ct.c_int64, ct.c_int32, _c_i8p, _c_i32p,
 ]
+_lib.t1k_align_stats_batch.restype = None
+_lib.t1k_align_stats_batch.argtypes = [
+    _c_i8p, _c_i32p, _c_i8p, _c_i32p, ct.c_int64, ct.c_int64, ct.c_int64,
+    ct.c_int32, _c_i32p,
+]
 _lib.t1k_engine_set_store_results.argtypes = [ct.c_void_p, ct.c_int32]
 _lib.t1k_defer_reserve.argtypes = [ct.c_void_p, ct.c_int64]
 _lib.t1k_defer_set_base.argtypes = [ct.c_void_p, ct.c_int64]
@@ -183,6 +188,23 @@ def align_global(t: np.ndarray, p: np.ndarray, band: int = 5) -> Tuple[int, np.n
     score = _lib.t1k_align_global(t, len(t), p, len(p), band, out)
     n = int(np.argmax(out == -1))
     return score, out[:n]
+
+
+def align_stats_batch(tc: np.ndarray, tl: np.ndarray, pc: np.ndarray,
+                      pl: np.ndarray, band: int = 5) -> np.ndarray:
+    """Match counts for padded [n, tcap]/[n, pcap] row batches — the
+    native oracle with the deferred-DP stats_fn signature (engine.cc
+    t1k_align_stats_batch)."""
+    tc = np.ascontiguousarray(tc, dtype=np.int8)
+    pc = np.ascontiguousarray(pc, dtype=np.int8)
+    n = len(tl)
+    out = np.zeros(n, dtype=np.int32)
+    _lib.t1k_align_stats_batch(
+        tc, np.ascontiguousarray(tl, np.int32), pc,
+        np.ascontiguousarray(pl, np.int32),
+        tc.shape[1] if tc.ndim == 2 else len(tc),
+        pc.shape[1] if pc.ndim == 2 else len(pc), n, band, out)
+    return out
 
 
 def align_stats(t: np.ndarray, p: np.ndarray,

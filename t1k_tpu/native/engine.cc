@@ -2846,6 +2846,22 @@ void t1k_align_global_batch(const int8_t* tcat, const int64_t* toff,
   }
 }
 
+// Batched count-only stats over the padded [n, tcap]/[n, pcap] row
+// layout that t1k_defer2_fetch emits — the native oracle for the
+// deferred-DP transport (tests and the host-half profiling harness
+// score the deferred items with this instead of a device).
+void t1k_align_stats_batch(const int8_t* tc, const int32_t* tl,
+                           const int8_t* pc, const int32_t* pl,
+                           int64_t tcap, int64_t pcap, int64_t n,
+                           int32_t band, int32_t* out_match) {
+  t1k::AlignScratch scr;
+  for (int64_t i = 0; i < n; ++i)
+    out_match[i] = t1k::BandedGlobalAlignStats(tc + i * tcap, tl[i],
+                                               pc + i * pcap, pl[i], band,
+                                               &scr)
+                       .match;
+}
+
 }  // extern "C"
 
 // --------------------------------------------------------- fragment stage
