@@ -2074,6 +2074,15 @@ static void DeferBegin2(Engine& eng, const int8_t* readCodes,
               [&](int ov, int seq, int tOff, int tLen, const int8_t* r,
                   int pOff, int pLen) -> int {
                 if (tLen <= 0 || pLen <= 0) return 0;
+                // All-match shortcut at emission: byte-equal windows hit
+                // the same diagonal fast path the inline DP takes
+                // (BandedGlobalAlignStats), so they never become device
+                // items — in the genotyper regime (near-identical
+                // alleles) this resolves the majority of gap windows
+                // host-side for the cost of a <=30-byte memcmp.
+                if (tLen == pLen &&
+                    std::memcmp(eng.Seq(seq) + tOff, r + pOff, tLen) == 0)
+                  return tLen;
                 if (!DeferEligible(tLen, pLen))
                   return BandedGlobalAlignStats(eng.Seq(seq) + tOff, tLen,
                                                 r + pOff, pLen, 5, &scratch)
@@ -2114,6 +2123,7 @@ static void DeferBegin2(Engine& eng, const int8_t* readCodes,
             int64_t q2 = sp ? (int64_t)__builtin_ia32_rdtsc() : 0;
             if (sp) gProf.cycSpecGeom += q2 - q1;
             const int sides[2] = {g.leftOver, g.rightOver};
+            const int8_t* rr = o.strand == 1 ? read : rcBuf.data();
             for (int s = 0; s < 2; ++s) {
               if (sides[s] <= 0) continue;
               if (!DeferEligible(sides[s], sides[s])) {
@@ -2128,6 +2138,11 @@ static void DeferBegin2(Engine& eng, const int8_t* readCodes,
               it.pOff = s == 0 ? o.readStart - g.leftOver : o.readEnd + 1;
               it.pLen = sides[s];
               it.useRc = o.strand != 1;
+              if (std::memcmp(eng.codes + it.tOff, rr + it.pOff,
+                              it.tLen) == 0) {
+                sl[s] = -3;  // all-match: res = sides[s] at finish
+                continue;
+              }
               bool fresh = false;
               int32_t local = memo.GetOrInstall(
                   eng.codes + it.tOff, it.tLen, it.pOff, it.pLen,
@@ -2275,6 +2290,8 @@ static int64_t DeferFinish2(Engine& eng, const int32_t* match,
                   int32_t slot = slts[oi][s];
                   if (slot == -1) {
                     res[s] = 0;
+                  } else if (slot == -3) {
+                    res[s] = sides[s];  // all-match window (begin memcmp)
                   } else if (slot == -2) {
                     const int8_t* seq = eng.Seq(o.seq);
                     const int8_t* t = s == 0 ? seq + o.seqStart - g.leftOver
