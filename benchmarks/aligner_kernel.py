@@ -31,7 +31,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
@@ -129,11 +129,38 @@ def bench_tpu(B=65536, R=64, n_reps=5):
 def main():
     baseline = bench_native_baseline()
     tpu = bench_tpu()
+
+    # Roofline accounting at the benchmark shape (Lt=112, Lp=100, band
+    # 5, W=32, G=8) — see docs/tpu_pipeline.md "Band-kernel roofline".
+    # Per DP row each pair occupies W=32 int32 sublane elements and the
+    # kernel body issues ~65 vector ops per element (hand count of the
+    # score variant: sub 6, e/h/u 16, 5-step Kogge-Stone exclusive max
+    # 22, selects/masks 21).  The useful band is left+right+1 = 23 of
+    # the 32 window sublanes at this shape.
+    OPS_PER_ELEM = 65
+    W_WIN, BAND_CELLS, ROWS = 32, 23, 100
+    vector_ops = tpu * ROWS * W_WIN * OPS_PER_ELEM
+    band_cells = tpu * ROWS * BAND_CELLS
+    # v5e VPU peak: 4 ALUs x (8x128) lanes x ~1.5GHz clock (the clock
+    # that reproduces the chip's published 197 TFLOP/s bf16 with 4
+    # 128x128 MXUs) = ~6.1e12 int32 op/s; HBM ~819 GB/s.
+    VPU_PEAK = 4 * 8 * 128 * 1.5e9
+    HBM_BW = 819e9
+    bytes_per_pair = 112 + 100 + 8 + 4  # t + p + lens + score out
     print(json.dumps({
         "metric": "banded_align_pairs_per_s_per_chip",
         "value": round(tpu),
         "unit": "pairs/s",
         "vs_baseline": round(tpu / baseline, 3),
+        "roofline": {
+            "band_cells_per_s": round(band_cells),
+            "vector_ops_per_s": round(vector_ops),
+            "vpu_peak_ops_per_s": round(VPU_PEAK),
+            "vpu_utilization": round(vector_ops / VPU_PEAK, 3),
+            "band_occupancy": round(BAND_CELLS / W_WIN, 3),
+            "hbm_fraction": round(tpu * bytes_per_pair / HBM_BW, 5),
+            "bound": "compute (VPU)",
+        },
     }))
 
 
