@@ -60,21 +60,34 @@ def main():
     em_quantify_jax_batched(problems[:2], eff_len, allele_gene, allele_major,
                             n_genes, n_majors)
 
+    # per-cell rate on a subsample (serial dispatch makes the full
+    # cohort prohibitive — which is the point of the batched path)
+    sub = problems[:min(n_cells, 128)]
     t0 = time.perf_counter()
-    for p in problems:
+    for p in sub:
         em_quantify_jax(p[0], p[1], p[2], eff_len, missing, p[3],
                         allele_gene, allele_major, n_genes, n_majors)
     t_seq = time.perf_counter() - t0
+    seq_rate = len(sub) / t_seq
 
     t0 = time.perf_counter()
     em_quantify_jax_batched(problems, eff_len, allele_gene, allele_major,
                             n_genes, n_majors)
     t_bat = time.perf_counter() - t0
+    bat_rate = n_cells / t_bat
 
-    print(f"cells={n_cells} rg/cell={G} ec/cell~{K}")
-    print(f"per-cell device EM : {t_seq:.2f}s  ({n_cells / t_seq:.1f} cells/s)")
-    print(f"cohort-batched EM  : {t_bat:.2f}s  ({n_cells / t_bat:.1f} cells/s)"
-          f"  speedup {t_seq / t_bat:.1f}x")
+    from t1k_tpu.ops.em import BATCH_EM_MAX_ELEMS
+    n_chunks = -(-n_cells * G * K // BATCH_EM_MAX_ELEMS)
+    import json
+    print(json.dumps({
+        "metric": "cohort_em_cells_per_s",
+        "n_cells": n_cells, "rg_per_cell": G, "ec_per_cell": K,
+        "approx_chunks": n_chunks,
+        "value": round(bat_rate, 1),
+        "per_cell_dispatch_cells_per_s": round(seq_rate, 1),
+        "batched_vs_per_cell": round(bat_rate / seq_rate, 2),
+        "batched_wall_s": round(t_bat, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -157,6 +157,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     # at any N (parallel/distributed.py).
     nproc = int(os.environ.get("T1K_NUM_PROCESSES", "1"))
     pid = int(os.environ.get("T1K_PROCESS_ID", "0"))
+    if nproc > 1 and pid > 0:
+        # Device policy for multi-process runs sharing one chip: only
+        # process 0 probes and uses the accelerator (extraction and the
+        # merged global stages run there anyway); workers pin the
+        # presence verdict to absent so they never contend for the TPU
+        # client — a second process's backend init can wedge the chip
+        # for every process (docs/tpu_pipeline.md "wedged orphan").
+        # An explicit T1K_BACKEND or T1K_TPU_PRESENT from the launcher
+        # overrides (e.g. one chip per host on a real pod).
+        if not os.environ.get("T1K_BACKEND"):
+            os.environ.setdefault("T1K_TPU_PRESENT", "0")
     if nproc > 1 and (args.barcode or args.outputReadAssignment
                       or args.alleleWhitelist):
         print("Distributed mode covers the standard paired/single flow; "
