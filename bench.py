@@ -134,6 +134,8 @@ def main():
         device_metrics["device_em"] = run_device_bench("em_iters.py")
         device_metrics["device_screen"] = run_device_bench("kmer_screen.py")
         device_metrics["sharded_em"] = run_device_bench("sharded_em.py")
+        device_metrics["cohort_em"] = run_device_bench("cohort_em.py",
+                                                       ["2048"])
     else:
         device_metrics["status"] = "device unreachable; no TPU metrics"
 

@@ -236,7 +236,6 @@ def em_quantify_sharded_squarem(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P()) + data_in_specs,
         out_specs=(P(), P(), P()),
-        check_vma=False,
     )
     def round_step(t, x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
                    ece_s, ec_len_r):
@@ -249,7 +248,6 @@ def em_quantify_sharded_squarem(
         jax.shard_map, mesh=mesh,
         in_specs=data_in_specs,
         out_specs=(P(), P(), P()),
-        check_vma=False,
     )
     def full_loop(sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
                   ece_s, ec_len_r):
@@ -332,7 +330,6 @@ def em_quantify_sharded(
                   P(axis, None), P(axis, None), P(axis, None),
                   P(axis, None), P(axis, None), P()),
         out_specs=P(),
-        check_vma=False,
     )
     def run_step(x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
                  ece_s, ec_len_r):

@@ -102,7 +102,7 @@ def em_quantify_multihost(
             in_specs=(P(), P(axis, None), P(axis, None), P(axis, None),
                       P(axis, None), P(axis, None), P(axis, None),
                       P(axis, None), P(axis, None), P()),
-            out_specs=P(), check_vma=False),
+            out_specs=P()),
         donate_argnums=(0,))
 
     def put_sharded(arr):
