@@ -85,3 +85,32 @@ def test_align_stats_matches_walk_counts():
         if got != want:
             mismatches.append((t, p, want, got))
     assert not mismatches, f"{len(mismatches)}; first: {mismatches[0]}"
+
+
+def test_align_stats_batch_matches_per_pair():
+    """The padded-row batch oracle (native align_stats_batch — the
+    deferred-DP stats_fn-signature scorer used by tests and the
+    host-half harness) must equal per-pair align_stats."""
+    import numpy as np
+
+    from t1k_tpu.native import align_stats, align_stats_batch
+
+    rng = np.random.default_rng(5)
+    n, tcap, pcap = 257, 40, 44
+    tc = np.full((n, tcap), 4, np.int8)
+    pc = np.full((n, pcap), 4, np.int8)
+    tl = np.zeros(n, np.int32)
+    pl = np.zeros(n, np.int32)
+    for i in range(n):
+        tl[i] = int(rng.integers(1, tcap + 1))
+        pl[i] = max(1, min(pcap, tl[i] + int(rng.integers(-4, 5))))
+        tc[i, :tl[i]] = rng.integers(0, 5, tl[i])
+        m = min(tl[i], pl[i])
+        pc[i, :pl[i]] = rng.integers(0, 4, pl[i])
+        pc[i, :m] = tc[i, :m]
+        for _ in range(int(rng.integers(0, 4))):
+            pc[i, int(rng.integers(0, pl[i]))] = int(rng.integers(0, 4))
+    out = align_stats_batch(tc, tl, pc, pl)
+    for i in range(n):
+        want, _, _ = align_stats(tc[i, :tl[i]], pc[i, :pl[i]])
+        assert out[i] == want, i
