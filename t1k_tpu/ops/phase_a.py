@@ -140,12 +140,29 @@ class PhaseAIndex:
             seqs = np.zeros(1, np.int32)
             offs = np.zeros(1, np.int32)
 
+        # Canonicalize every panel-dependent kernel-cache dimension to a
+        # power-of-two TIER so panels of similar scale share compiled
+        # variants (kernel compiles through a congested relay cost
+        # 50-1200s; a DB version bump must not invalidate the store).
+        # - n_seqs pads the group axis: padding groups own no postings,
+        #   so they never win a bucket and never decode into results;
+        #   group ORDER (rev block before fwd, seq ascending within) is
+        #   preserved, so min-index tie-breaks are unchanged.
+        # - post_seq/post_off pad with zeros: flat slots past a chunk's
+        #   hit total are masked by `valid` before use.
+        n_pad = 32
+        while n_pad < packed.n:
+            n_pad *= 2
+        p_pad = 1 << max(int(len(seqs) - 1).bit_length(), 5)
+        seqs = np.concatenate([seqs, np.zeros(p_pad - len(seqs), np.int32)])
+        offs = np.concatenate([offs, np.zeros(p_pad - len(offs), np.int32)])
+
         empty = jnp.zeros(0, np.int32)
         if k <= _DIRECT_MAX_K:
             starts = np.zeros(4 ** k + 1, np.int64)
             np.add.at(starts, codes.astype(np.int64) + 1, 1)
             starts = np.cumsum(starts).astype(np.int32)
-            return cls(k=k, n_seqs=packed.n, max_seq_len=max_len,
+            return cls(k=k, n_seqs=n_pad, max_seq_len=max_len,
                        post_seq=jnp.asarray(seqs), post_off=jnp.asarray(offs),
                        direct=True, starts=jnp.asarray(starts),
                        keys=empty, hstart=empty, hcount=empty,
@@ -183,12 +200,17 @@ class PhaseAIndex:
             lost = np.setdiff1d(unres, won, assume_unique=True)
             h[lost] = (h[lost] + step[lost]) & mask
             unres = lost
-        return cls(k=k, n_seqs=packed.n, max_seq_len=max_len,
+        # canonicalize the probe bound too (absent keys stay correct at
+        # ANY probe count; present keys resolve within the real bound)
+        mp_pad = 1
+        while mp_pad < max_probe:
+            mp_pad *= 2
+        return cls(k=k, n_seqs=n_pad, max_seq_len=max_len,
                    post_seq=jnp.asarray(seqs), post_off=jnp.asarray(offs),
                    direct=False, starts=jnp.zeros(1, np.int32),
                    keys=jnp.asarray(keys), hstart=jnp.asarray(hstart),
                    hcount=jnp.asarray(hcount), hsize=size,
-                   max_probe=max_probe)
+                   max_probe=mp_pad)
 
 
 # ------------------------------------------------------------ window probing
