@@ -111,9 +111,11 @@ def warmup_panel_screen(panel_fasta: str, verbose: bool = True) -> None:
     packed = refset.packed()
     k = max(refset.infer_kmer_length(), 9)
     dev = DeviceScreen.build(packed, k, EXTRACTOR_HIT_LEN_PAIRED, 0.8)
-    # mostly off-target reads with a few panel-derived rows: lands in
-    # the small arena tiers real extraction chunks use (an all-on-target
-    # batch would overflow every tier and prewarm nothing)
+    # The chain kernel is compiled per hit-arena TIER, and a chunk's
+    # tier follows its measured hit volume — so warm BOTH regimes real
+    # extractions land in: an off-target-dominated batch (small tiers)
+    # and an all-on-target batch drawn from across the panel (the tier
+    # an enriched/candidate-only input selects).
     rng = np.random.default_rng(3)
     codes = rng.integers(0, 4, (1024, 100)).astype(np.int8)
     codes[:8] = np.asarray(packed.seq_codes[:100], np.int8)[None, :]
@@ -121,7 +123,20 @@ def warmup_panel_screen(panel_fasta: str, verbose: bool = True) -> None:
     t0 = time.time()
     dev.screen(codes, lens)
     if verbose:
-        print(f"panel screen k={k} n_seqs={packed.n}: "
+        print(f"panel screen k={k} n_seqs={packed.n} (off-target batch): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    on = np.zeros((1024, 100), np.int8)
+    starts = np.asarray(packed.seq_starts)
+    lens_p = np.asarray(packed.seq_lens)
+    for i in range(1024):
+        s = int(starts[i % packed.n])
+        ln = min(100, int(lens_p[i % packed.n]))
+        row = np.asarray(packed.seq_codes[s:s + ln], np.int8)
+        on[i, :ln] = row
+    t0 = time.time()
+    dev.screen(on, lens)
+    if verbose:
+        print(f"panel screen k={k} n_seqs={packed.n} (on-target batch): "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
 
 
