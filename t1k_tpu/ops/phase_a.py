@@ -666,9 +666,11 @@ class DeviceScreen:
         Lp = 64
         while Lp < L:
             Lp *= 2
-        rows = 32
-        while rows < min(n, self.row_chunk):
-            rows *= 2
+        # Always the FULL row_chunk rows: the row count is a kernel-cache
+        # shape key, so padding small inputs up (zero-length rows emit no
+        # hits) means one compiled variant serves every input size —
+        # kernel compiles cost 50-1200s through a congested relay.
+        rows = self.row_chunk
         out_v = np.zeros(n, bool)
         out_d = np.zeros(n, bool)
         # Probe/chain software pipeline with a BOUNDED in-flight window:
@@ -873,9 +875,7 @@ class DeviceCandidates:
         Lp = 64
         while Lp < L:
             Lp *= 2
-        rows = 32
-        while rows < min(n, self.row_chunk):
-            rows *= 2
+        rows = self.row_chunk  # full chunk rows: one variant per shape class
         NG = 2 * idx.n_seqs
         for lo in range(0, n, rows):
             hi = min(lo + rows, n)
