@@ -51,6 +51,42 @@ def is_low_complexity(seq: str) -> bool:
         np.array([len(seq)], np.int64))[0])
 
 
+def screen_flags(codes_cat: np.ndarray, lens: np.ndarray,
+                 starts: np.ndarray, device_screen, engine):
+    """Batched candidate screen shared by the FASTQ and BAM extraction
+    paths: the vectorized low-complexity rule over the whole batch, the
+    device prefilter for the reads it can decide, and the exact native
+    re-screen for the rest (so output stays byte-identical).
+
+    codes_cat: concatenated base codes; lens/starts: per-read layout.
+    Returns (hits bool[n] — False for low-complexity reads, lc bool[n]).
+    """
+    n = len(lens)
+    hits = np.zeros(n, bool)
+    if n == 0:
+        return hits, np.zeros(0, bool)
+    seg = np.repeat(np.arange(n), lens)
+    lc = low_complexity_flags(codes_cat, seg, lens)
+    todo = np.flatnonzero(~lc)
+    if len(todo) and device_screen is not None:
+        max_len = int(lens[todo].max())
+        padded = np.full((len(todo), max_len), 4, dtype=np.int8)
+        plens = lens[todo].astype(np.int32)
+        for j, i in enumerate(todo):
+            padded[j, :lens[i]] = codes_cat[starts[i]:starts[i] + lens[i]]
+        verdict, dec = device_screen.screen(padded, plens)
+        hits[todo[dec]] = verdict[dec]
+        todo = todo[~dec]
+    if len(todo):
+        codes = np.concatenate(
+            [codes_cat[starts[i]:starts[i] + lens[i]] for i in todo])
+        l2 = lens[todo].astype(np.int32)
+        s2 = np.zeros(len(l2), dtype=np.int64)
+        s2[1:] = np.cumsum(l2[:-1])
+        hits[todo] = engine.screen_batch(codes, s2, l2).astype(bool)
+    return hits, lc
+
+
 @dataclass
 class ExtractorOptions:
     ref_seq_similarity: float = 0.8
@@ -176,41 +212,21 @@ def run_extractor(
             packed, kmer_length, hit_len, opts.ref_seq_similarity)
 
     # Screen: low-complexity prefilter, then batched k-mer chained
-    # screen.  The whole chunk is encoded ONCE and the low-complexity
-    # rule evaluated vectorized (a per-read numpy call costs ~15us of
-    # fixed overhead — 0.3s per 20k reads).
+    # screen (screen_flags, shared with the BAM extraction path).  The
+    # whole chunk is encoded ONCE and the low-complexity rule evaluated
+    # vectorized (a per-read numpy call costs ~15us of fixed overhead —
+    # 0.3s per 20k reads).
     def screen(recs: List[SeqRecord]) -> np.ndarray:
         n = len(recs)
-        flags = np.zeros(n, dtype=np.uint8)
         if n == 0:
-            return flags
+            return np.zeros(0, dtype=np.uint8)
         codes_cat = encode_seq("".join(r.seq for r in recs))
         lens_all = np.array([len(r.seq) for r in recs], dtype=np.int64)
         starts_all = np.zeros(n, dtype=np.int64)
         np.cumsum(lens_all[:-1], out=starts_all[1:])
-        seg = np.repeat(np.arange(n), lens_all)
-        lc = low_complexity_flags(codes_cat, seg, lens_all)
-        todo = np.flatnonzero(~lc)
-        if len(todo) and device_screen is not None:
-            max_len = int(lens_all[todo].max())
-            padded = np.full((len(todo), max_len), 4, dtype=np.int8)
-            plens = lens_all[todo].astype(np.int32)
-            for j, i in enumerate(todo):
-                padded[j, :lens_all[i]] = (
-                    codes_cat[starts_all[i]:starts_all[i] + lens_all[i]])
-            verdict, dec = device_screen.screen(padded, plens)
-            flags[todo[dec]] = verdict[dec]
-            todo = todo[~dec]
-        if len(todo):
-            codes = np.concatenate(
-                [codes_cat[starts_all[i]:starts_all[i] + lens_all[i]]
-                 for i in todo])
-            lens = lens_all[todo].astype(np.int32)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            starts[1:] = np.cumsum(lens[:-1])
-            sub = engine.screen_batch(codes, starts, lens)
-            flags[todo] = sub
-        return flags
+        hits, _ = screen_flags(codes_cat, lens_all, starts_all,
+                               device_screen, engine)
+        return hits.astype(np.uint8)
 
     # Outputs (opened up front; chunks append in input order).
     if has_mate:

@@ -194,6 +194,11 @@ def resolve_backend(backend: str) -> str:
     cached = os.environ.get("T1K_BACKEND_RESOLVED", "")
     if cached in ("native", "tpu"):
         return cached
+    # A pinned absence verdict (e.g. multi-process workers on a shared
+    # chip, cli/run.py) means no device exists for ANY stage — resolve
+    # native without spawning a probe that would contend for the client.
+    if os.environ.get("T1K_TPU_PRESENT", "") == "0":
+        return "native"
     if _platform_env_pins_cpu():
         return "native"
     limit = float(os.environ.get("T1K_TPU_RTT_MS", "10"))

@@ -467,7 +467,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                      mate_id_len: int = -1,
                      bc_field: str = "", umi_field: str = "") -> dict:
     from ..constants import EXTRACTOR_KMER_LENGTH, encode_seq
-    from ..core.extractor import low_complexity_flags
+    from ..core.extractor import screen_flags
     from ..io.reads import read_seq_file
     from ..io.refset import RefSet
     from ..native import NativeEngine
@@ -517,33 +517,15 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     # sampling (alignments.hpp:597-690) needs only the header fields and
     # the selection mask is independent of its outcome, so both run over
     # one scan_lazy stream — no headers-only prepass, no rewind, and the
-    # BGZF prefix is inflated once instead of twice.  Selected views are
-    # buffered (each fetch() call materializes its own blob copies), then
-    # replayed through the order-dependent pass-1 logic below once the
-    # engine is configured from the sampled stats.
+    # BGZF prefix is inflated once instead of twice.  Only the batches
+    # the stats sample needs are BUFFERED (selected views of the first
+    # ~sample_max records; each fetch() call materializes its own blob
+    # copies); once the engine is configured from the sampled stats, the
+    # rest of the file streams straight through the pass-1 logic — a
+    # WGS-scale BAM must not hold its full selected set in memory.
     sample_max = 100000
-    len_chunks: List[np.ndarray] = []
-    mate_chunks: List[np.ndarray] = []
-    sampled = 0
-    has_mate = 0
-    selected: List[Tuple[int, "_RecView"]] = []
-    base = 0
-    while True:
-        b = reader._scan.scan_lazy()
-        if b is None:
-            break
-        fields, hashes = b
-        if sampled < sample_max:
-            f = fields[(fields[:, 0] & 0x900) == 0]
-            if sampled + len(f) > sample_max:
-                f = f[:sample_max - sampled]
-            sflag = f[:, 0]
-            len_chunks.append(f[:, 7])
-            md = ((f[:, 1] == f[:, 4]) & (f[:, 2] < f[:, 5])
-                  & (((sflag >> 4) ^ (sflag >> 5)) & 1).astype(bool))
-            mate_chunks.append((f[:, 5] - f[:, 2])[md].astype(np.int64))
-            has_mate += int(np.count_nonzero(sflag & 0x1))
-            sampled += len(f)
+
+    def select_batch(fields, hashes, base):
         flag = fields[:, 0]
         tid = fields[:, 1]
         pos = fields[:, 2].astype(np.int64)
@@ -571,13 +553,48 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                    & aligned)
             sel |= ov
         idxs = np.flatnonzero(sel)
+        out: List[Tuple[int, "_RecView"]] = []
         if len(idxs):
             offs, blobs = reader._scan.fetch(idxs)
             rows = fields[idxs].tolist()
             hs = hashes[idxs].tolist()
             for j, (r, i, h) in enumerate(zip(rows, idxs.tolist(), hs)):
-                selected.append((base + i, _RecView(r, j, offs, blobs, h)))
+                out.append((base + i, _RecView(r, j, offs, blobs, h)))
+        return out
+
+    len_chunks: List[np.ndarray] = []
+    mate_chunks: List[np.ndarray] = []
+    sampled = 0
+    has_mate = 0
+    buffered: List[Tuple[int, "_RecView"]] = []
+    base = 0
+    while sampled < sample_max:
+        b = reader._scan.scan_lazy()
+        if b is None:
+            break
+        fields, hashes = b
+        f = fields[(fields[:, 0] & 0x900) == 0]
+        if sampled + len(f) > sample_max:
+            f = f[:sample_max - sampled]
+        sflag = f[:, 0]
+        len_chunks.append(f[:, 7])
+        md = ((f[:, 1] == f[:, 4]) & (f[:, 2] < f[:, 5])
+              & (((sflag >> 4) ^ (sflag >> 5)) & 1).astype(bool))
+        mate_chunks.append((f[:, 5] - f[:, 2])[md].astype(np.int64))
+        has_mate += int(np.count_nonzero(sflag & 0x1))
+        sampled += len(f)
+        buffered.extend(select_batch(fields, hashes, base))
         base += fields.shape[0]
+
+    def rest_views():
+        nonlocal base
+        while True:
+            b = reader._scan.scan_lazy()
+            if b is None:
+                return
+            fields, hashes = b
+            yield from select_batch(fields, hashes, base)
+            base += fields.shape[0]
 
     read_len, frag_len, frag_stdev = _general_stats(
         len_chunks, mate_chunks, sampled, has_mate)
@@ -666,29 +683,12 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             starts = np.zeros(n, np.int64)
             starts[1:] = np.cumsum(lens[:-1])
             codes = encode_seq("".join(screen_seqs))
-            seg = np.repeat(np.arange(n), lens)
-            lc = low_complexity_flags(codes, seg, lens)
-            hits = np.zeros(n, bool)
-            todo = np.flatnonzero(~lc)
-            if len(todo) and device_screen is not None:
-                max_len = int(lens[todo].max())
-                padded = np.full((len(todo), max_len), 4, np.int8)
-                plens = np.zeros(len(todo), np.int32)
-                for j, i in enumerate(todo):
-                    padded[j, :lens[i]] = codes[starts[i]:starts[i] + lens[i]]
-                    plens[j] = lens[i]
-                verdict, decided = device_screen.screen(padded, plens)
-                hits[todo[decided]] = verdict[decided]
-                todo = todo[~decided]
-            if len(todo):
-                sub = engine.screen_batch(
-                    np.concatenate([codes[starts[i]:starts[i] + lens[i]]
-                                    for i in todo]),
-                    np.concatenate([[0], np.cumsum(
-                        lens[todo][:-1])]).astype(np.int64),
-                    lens[todo].astype(np.int32))
-                hits[todo] = sub.astype(bool)
-            passed = (hits & ~lc).tolist()
+            # shared batched screen (core/extractor.py screen_flags):
+            # low-complexity rule + device prefilter + exact native
+            # re-screen — the same pipeline the FASTQ extractor runs
+            hits, lc = screen_flags(codes, lens, starts, device_screen,
+                                    engine)
+            passed = hits.tolist()
             not_lc = (~lc).tolist()
         else:
             passed = []
@@ -751,7 +751,9 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
     def bc_snapshot(rec):
         return _BcTags(rec.tags if want_tags else {})
 
-    it = iter(selected)
+    import itertools
+
+    it = itertools.chain(iter(buffered), rest_views())
     for orig_i, rec in it:
         if (not rec.is_template_aligned()) or (
             rec.is_aligned()

@@ -12,7 +12,17 @@
 // members, handled by zlib with windowBits 15+16 and inflateReset at
 // member boundaries).
 
+// libdeflate (whole-buffer inflate, ~2x zlib on BGZF members) is used
+// when available; plain zlib raw inflate otherwise, so the build needs
+// only zlib.  The Makefile links -ldeflate only when the header exists.
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#define T1K_HAVE_LIBDEFLATE 1
+#endif
+#endif
+#ifdef T1K_HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
 #include <zlib.h>
 
 #include <atomic>
@@ -63,10 +73,15 @@ struct InflatePool {
 
   std::atomic<bool> fail{false};
 
-  // libdeflate whole-buffer raw inflate: BGZF members carry their exact
-  // decompressed size (ISIZE), which is libdeflate's fast path —
-  // measured ~2x zlib's streaming inflate on BGZF payloads.
-  void InflateOne(libdeflate_decompressor* dec, const Task& t) {
+  // Per-worker decompressor state: libdeflate's whole-buffer raw
+  // inflate when available (BGZF members carry their exact decompressed
+  // size ISIZE, libdeflate's fast path — measured ~2x zlib's streaming
+  // inflate on BGZF payloads), zlib raw inflate otherwise.
+#ifdef T1K_HAVE_LIBDEFLATE
+  typedef libdeflate_decompressor* Dec;
+  static Dec DecAlloc() { return libdeflate_alloc_decompressor(); }
+  static void DecFree(Dec d) { libdeflate_free_decompressor(d); }
+  void InflateOne(Dec dec, const Task& t) {
     enum libdeflate_result rc = libdeflate_deflate_decompress(
         dec, t.src, t.srcLen, t.dst, t.dstLen, nullptr);
     // a corrupt/truncated member must not be silently accepted: the
@@ -74,9 +89,31 @@ struct InflatePool {
     if (rc != LIBDEFLATE_SUCCESS)
       fail.store(true, std::memory_order_relaxed);
   }
+#else
+  typedef z_stream* Dec;
+  static Dec DecAlloc() {
+    z_stream* zs = new z_stream{};
+    inflateInit2(zs, -15);  // raw deflate
+    return zs;
+  }
+  static void DecFree(Dec zs) {
+    inflateEnd(zs);
+    delete zs;
+  }
+  void InflateOne(Dec zs, const Task& t) {
+    inflateReset(zs);
+    zs->next_in = const_cast<Bytef*>(t.src);
+    zs->avail_in = (uInt)t.srcLen;
+    zs->next_out = t.dst;
+    zs->avail_out = (uInt)t.dstLen;
+    int rc = inflate(zs, Z_FINISH);
+    if (rc != Z_STREAM_END || zs->avail_out != 0)
+      fail.store(true, std::memory_order_relaxed);
+  }
+#endif
 
   void Run() {
-    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    Dec dec = DecAlloc();
     uint64_t gen = 0;
     std::unique_lock<std::mutex> lk(mu);
     for (;;) {
@@ -93,13 +130,13 @@ struct InflatePool {
       }
       if (done == tasks.size()) cvDone.notify_all();
     }
-    libdeflate_free_decompressor(dec);
+    DecFree(dec);
   }
 
   // Run all tasks (caller's thread participates), blocking until done.
   // Returns false when any member failed to inflate cleanly.
   bool Execute(std::vector<Task>&& batch) {
-    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    Dec dec = DecAlloc();
     {
       std::lock_guard<std::mutex> lk(mu);
       tasks = std::move(batch);
@@ -121,7 +158,7 @@ struct InflatePool {
       ++done;
       if (done == tasks.size()) cvDone.notify_all();
     }
-    libdeflate_free_decompressor(dec);
+    DecFree(dec);
     std::unique_lock<std::mutex> lk(mu);
     cvDone.wait(lk, [&] { return done == tasks.size(); });
     return !fail.load(std::memory_order_relaxed);

@@ -56,6 +56,25 @@ def test_locality_gate_does_not_disable_presence_routing(monkeypatch):
     assert tpu_present() is True
 
 
+def test_pinned_absence_resolves_native_without_probe(monkeypatch):
+    """A pinned T1K_TPU_PRESENT=0 (multi-process workers on a shared
+    chip, cli/run.py policy) must resolve the DP backend to native
+    WITHOUT spawning a probe — a worker's probe subprocess contends for
+    the TPU client with process 0's device work."""
+    from t1k_tpu.core import pipeline
+
+    _clear_routing_env(monkeypatch)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv("T1K_TPU_PRESENT", "0")
+
+    def boom(*a, **k):
+        raise AssertionError("probe must not run with a pinned verdict")
+
+    monkeypatch.setattr(pipeline, "_probe_device", boom)
+    assert pipeline.resolve_backend("auto") == "native"
+    assert pipeline.tpu_present() is False
+
+
 def test_em_auto_routes_on_presence_and_size(monkeypatch):
     from t1k_tpu.core.genotyper import Genotyper
 
