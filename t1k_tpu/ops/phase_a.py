@@ -620,9 +620,17 @@ class DeviceScreen:
 
     _TIER_LADDER = (1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24)
 
+    # Default ceiling 2^20: the 2^22/2^24 chain-kernel variants take
+    # pathologically long to compile (a 2^22 compile did not finish in
+    # 50 minutes through the congested relay), and the chunks that need
+    # them are on-target-DOMINATED — precisely the ones the native
+    # re-screen handles in milliseconds and that gain nothing from bulk
+    # device discard.  Off-target-dominated extraction chunks (the
+    # screen's purpose) fit the small tiers.  Raise hit_cap explicitly
+    # on installs whose toolchain compiles the big tiers tractably.
     def __init__(self, index: PhaseAIndex, hit_len_required: int,
                  ref_sim: float, radius: int = 10,
-                 hit_cap: int = 1 << 24, bucket_cap: int = 512,
+                 hit_cap: int = 1 << 20, bucket_cap: int = 512,
                  row_chunk: int = 1024):
         assert bucket_cap <= (1 << 15) - 1  # dominant-run int32 packing
         self.index = index
