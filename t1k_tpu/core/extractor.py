@@ -198,18 +198,34 @@ def run_extractor(
     # stage.  Only reads whose hit volume overflows the static device
     # caps fall back to the native engine; output is byte-identical by
     # construction.
-    # Routing: the device screen ships each read batch up ONCE and does
-    # all seeding/chaining device-side (bulk compute, small interface),
-    # so it wins through a relay too (measured 3.7x a host core via a
-    # ~40ms relay) — "auto" therefore gates on TPU PRESENCE, not on the
-    # deferred-DP locality probe (core/pipeline.py tpu_present).
+    # Routing: the device screen's STEADY-STATE rate beats the native
+    # screen (~700k vs 150-190k reads/s per core, bulk compute with a
+    # small interface), but each process pays a fixed setup tax first
+    # (probe + kernel loads + first dispatches: ~1-3s locally, 15-30s
+    # through a congested relay).  "auto" therefore gates on TPU
+    # presence AND input size: the device engages only once the run has
+    # streamed T1K_SCREEN_DEVICE_MIN_READS (default 2M — where the
+    # steady-state saving amortizes even relay-class setup), switching
+    # mid-run, which is safe because both routes are byte-identical.
+    # Small jobs never probe at all.  backend "tpu" forces the device
+    # from the first read.
     device_screen = None
-    from .pipeline import tpu_present
-    if (opts.backend == "tpu"
-            or (opts.backend == "auto" and tpu_present())):
-        from ..ops.phase_a import DeviceScreen
-        device_screen = DeviceScreen.build(
-            packed, kmer_length, hit_len, opts.ref_seq_similarity)
+    screened_reads = 0
+    device_checked = False
+    dev_min = int(os.environ.get("T1K_SCREEN_DEVICE_MIN_READS", "2000000"))
+
+    def _maybe_device_screen():
+        nonlocal device_screen, device_checked
+        if device_checked:
+            return
+        if opts.backend == "tpu" or (opts.backend == "auto"
+                                     and screened_reads >= dev_min):
+            device_checked = True
+            from .pipeline import tpu_present
+            if opts.backend == "tpu" or tpu_present():
+                from ..ops.phase_a import DeviceScreen
+                device_screen = DeviceScreen.build(
+                    packed, kmer_length, hit_len, opts.ref_seq_similarity)
 
     # Screen: low-complexity prefilter, then batched k-mer chained
     # screen (screen_flags, shared with the BAM extraction path).  The
@@ -217,9 +233,12 @@ def run_extractor(
     # vectorized (a per-read numpy call costs ~15us of fixed overhead —
     # 0.3s per 20k reads).
     def screen(recs: List[SeqRecord]) -> np.ndarray:
+        nonlocal screened_reads
         n = len(recs)
         if n == 0:
             return np.zeros(0, dtype=np.uint8)
+        _maybe_device_screen()
+        screened_reads += n
         codes_cat = encode_seq("".join(r.seq for r in recs))
         lens_all = np.array([len(r.seq) for r in recs], dtype=np.int64)
         starts_all = np.zeros(n, dtype=np.int64)

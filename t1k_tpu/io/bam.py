@@ -611,25 +611,34 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             hit_len = kmer_length
     engine = NativeEngine(packed, kmer_length, hit_len_required=hit_len)
 
-    # Device screen, same routing as the FASTQ extractor (presence, not
-    # DP locality — core/extractor.py): the exact phase-A program
-    # screens each flushed batch on the chip; reads whose hit volume
-    # overflows the static caps are re-screened by the native engine,
-    # so output stays byte-identical.  The cheap T1K_BACKEND=native env
-    # check runs FIRST so the native route never pays the core.pipeline
-    # (and transitively jax) import.
+    # Device screen, same routing as the FASTQ extractor (presence AND
+    # input size — core/extractor.py): the exact phase-A program screens
+    # flushed batches on the chip once the run has streamed enough reads
+    # to amortize the per-process device setup; reads whose hit volume
+    # overflows the static caps are re-screened by the native engine, so
+    # output stays byte-identical (which also makes the mid-run switch
+    # safe).  Small jobs never probe.
     backend = getattr(opts, "backend", "auto") if opts is not None else "auto"
     device_screen = None
-    if backend == "tpu" or (backend == "auto"
-                            and os.environ.get("T1K_BACKEND") != "native"):
-        from ..core.pipeline import tpu_present
-        if backend == "tpu" or tpu_present():
-            from ..ops.phase_a import DeviceScreen
-            # bam-extractor has no -s knob; HasHitInSet runs at the
-            # default similarity (reference BamExtractor.cpp uses SeqSet
-            # defaults)
-            device_screen = DeviceScreen.build(packed, kmer_length, hit_len,
-                                               0.8)
+    screened_reads = 0
+    device_checked = False
+    dev_min = int(os.environ.get("T1K_SCREEN_DEVICE_MIN_READS", "2000000"))
+
+    def _maybe_device_screen():
+        nonlocal device_screen, device_checked
+        if device_checked:
+            return
+        if backend == "tpu" or (backend == "auto"
+                                and screened_reads >= dev_min):
+            device_checked = True
+            from ..core.pipeline import tpu_present
+            if backend == "tpu" or tpu_present():
+                from ..ops.phase_a import DeviceScreen
+                # bam-extractor has no -s knob; HasHitInSet runs at the
+                # default similarity (reference BamExtractor.cpp uses
+                # SeqSet defaults)
+                device_screen = DeviceScreen.build(packed, kmer_length,
+                                                   hit_len, 0.8)
 
     if paired:
         fp1 = open(f"{output_prefix}_1.fq", "w")
@@ -674,11 +683,13 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         return len(screen_seqs) - 1
 
     def flush_jobs():
-        nonlocal jobs, screen_seqs, n_out
+        nonlocal jobs, screen_seqs, n_out, screened_reads
         if not jobs:
             return
         if screen_seqs:
             n = len(screen_seqs)
+            _maybe_device_screen()
+            screened_reads += n
             lens = np.array([len(s) for s in screen_seqs], np.int64)
             starts = np.zeros(n, np.int64)
             starts[1:] = np.cumsum(lens[:-1])
