@@ -112,10 +112,11 @@ def warmup_panel_screen(panel_fasta: str, verbose: bool = True) -> None:
     k = max(refset.infer_kmer_length(), 9)
     dev = DeviceScreen.build(packed, k, EXTRACTOR_HIT_LEN_PAIRED, 0.8)
     # The chain kernel is compiled per hit-arena TIER, and a chunk's
-    # tier follows its measured hit volume — so warm BOTH regimes real
+    # tier follows its measured hit volume — so warm the regimes real
     # extractions land in: an off-target-dominated batch (small tiers)
-    # and an all-on-target batch drawn from across the panel (the tier
-    # an enriched/candidate-only input selects).
+    # and a mixed batch with enough on-target rows to select the
+    # ladder's TOP tier (chunks past the ladder fall back to the native
+    # screen by design, so an all-on-target batch would warm nothing).
     rng = np.random.default_rng(3)
     codes = rng.integers(0, 4, (1024, 100)).astype(np.int8)
     codes[:8] = np.asarray(packed.seq_codes[:100], np.int8)[None, :]
@@ -125,19 +126,22 @@ def warmup_panel_screen(panel_fasta: str, verbose: bool = True) -> None:
     if verbose:
         print(f"panel screen k={k} n_seqs={packed.n} (off-target batch): "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
-    on = np.zeros((1024, 100), np.int8)
     starts = np.asarray(packed.seq_starts)
     lens_p = np.asarray(packed.seq_lens)
-    for i in range(1024):
-        s = int(starts[i % packed.n])
-        ln = min(100, int(lens_p[i % packed.n]))
-        row = np.asarray(packed.seq_codes[s:s + ln], np.int8)
-        on[i, :ln] = row
-    t0 = time.time()
-    dev.screen(on, lens)
-    if verbose:
-        print(f"panel screen k={k} n_seqs={packed.n} (on-target batch): "
-              f"{time.time() - t0:.1f}s", file=sys.stderr)
+    top = max(dev.tiers)
+    for frac in (0.05, 0.15, 0.4):
+        on = rng.integers(0, 4, (1024, 100)).astype(np.int8)
+        n_on = int(1024 * frac)
+        for i in range(n_on):
+            s = int(starts[i % packed.n])
+            ln = min(100, int(lens_p[i % packed.n]))
+            on[i, :ln] = np.asarray(packed.seq_codes[s:s + ln], np.int8)
+        t0 = time.time()
+        dev.screen(on, lens)
+        if verbose:
+            print(f"panel screen k={k} n_seqs={packed.n} "
+                  f"({int(frac * 100)}% on-target, top tier {top}): "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
 
 
 def main() -> int:
