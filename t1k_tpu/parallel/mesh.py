@@ -178,10 +178,40 @@ def em_quantify_sharded_squarem(
     counts = np.asarray(counts, np.float64)
     # accept per-read-group counts (the native em_quantify convention)
     # or per-incidence-entry counts
-    entry_counts = counts[seg_rg] if counts.shape == (rg_cnt,) else counts
-    (_, sec, _, secs_sorted, srgo, ctso, srgs, srge, secs, sece) = (
+    counts_per_rg = counts.shape == (rg_cnt,)
+    entry_counts = counts[seg_rg] if counts_per_rg else counts
+    (out_rg, sec, _, secs_sorted, srgo, ctso, srgs, srge, secs, sece) = (
         partition_read_groups(seg_rg, seg_ec, entry_counts,
                               rg_cnt, n, ec_cnt=ec_cnt))
+
+    # Dense per-shard E-step (ops/em.py dense formulation applied inside
+    # the shard): read groups are contiguous per shard, so each shard
+    # owns a local [R_local+1, ec] int8 incidence (last row = padding
+    # dummy) built on device; the E-step becomes two mixed-precision
+    # matvecs — no gathers/scatters, which serialize on TPU (measured
+    # 20-100x over the segment formulation at single-device scale).
+    # Falls back to the prefix-sum segment formulation when per-entry
+    # counts were supplied (dense rows carry one count per read group)
+    # or the per-shard incidence exceeds the device budget.
+    from ..ops.em import DENSE_EM_MAX_BYTES, _mv, _vm
+
+    lrg = None
+    if counts_per_rg:
+        rg_lo = np.zeros(n, np.int64)
+        span = 0
+        for s in range(n):
+            real = out_rg[s][out_rg[s] < rg_cnt]
+            rg_lo[s] = int(real[0]) if len(real) else 0
+            if len(real):
+                span = max(span, int(real[-1]) - int(rg_lo[s]) + 1)
+        r_local = max(span, 1)
+        if (r_local + 1) * ec_cnt <= DENSE_EM_MAX_BYTES:
+            lrg = np.where(out_rg < rg_cnt, out_rg - rg_lo[:, None],
+                           r_local).astype(np.int32)
+            cts_local = np.zeros((n, r_local + 1), np.float64)
+            for s in range(n):
+                real = out_rg[s][out_rg[s] < rg_cnt]
+                cts_local[s, real - rg_lo[s]] = counts[real]
 
     mask_reset = _make_mask_reset(
         jnp.asarray(ec_len, dtype), jnp.asarray(ec_size, dtype),
@@ -190,24 +220,9 @@ def em_quantify_sharded_squarem(
         jnp.asarray(allele_major, jnp.int32), gene_cnt, major_cnt,
         float(filter_frac))
 
-    def shard_round(t, x, sec_f, secs_f, srgo_f, ctso_f, rgs_f, rge_f,
-                    ecs_f, ece_f, ec_len_r):
-        """One SQUAREM round on one shard's flat incidence arrays
-        (Genotyper.hpp:1234-1290); the psum inside em_update is the only
-        collective."""
-
-        def em_update(xk):
-            # E-step: per-read-group normalizers are shard-local (whole
-            # groups per shard); per-EC counts merge with the psum
-            psum_rg = sorted_segment_sum(xk[sec_f], rgs_f, rge_f)
-            psum_rg = jnp.where(psum_rg == 0, 1, psum_rg)
-            contrib = ctso_f * xk[secs_f] / psum_rg[srgo_f]
-            local = sorted_segment_sum(contrib, ecs_f, ece_f)
-            count = jax.lax.psum(local, axis)
-            per_len = count / ec_len_r
-            x1 = per_len / per_len.sum()
-            return x1, count
-
+    def squarem_round(t, x, em_update):
+        """One SQUAREM round (Genotyper.hpp:1234-1290) on any E-step
+        formulation; the psum inside em_update is the only collective."""
         x1, _ = em_update(x)
         x2, _ = em_update(x1)
         r = x1 - x
@@ -229,45 +244,83 @@ def em_quantify_sharded_squarem(
         x_next = jnp.where(do_mask, mask_reset(count), x1b)
         return t + 1, x_next, count
 
-    shard_specs = (P(axis, None),) * 8
-    data_in_specs = shard_specs + (P(),)
+    if lrg is not None:
+        # ---- dense per-shard E-step
+        data = (lrg, sec, cts_local)
+        data_in_specs = (P(axis, None),) * 3 + (P(),)
+
+        def make_update(shard_args, ec_len_r):
+            lrg_s, sec_s, cts_s = shard_args
+            A = jnp.zeros((r_local + 1, ec_cnt), jnp.int8).at[
+                lrg_s.reshape(-1), sec_s.reshape(-1)].add(1)
+            cts_f = cts_s.reshape(-1).astype(dtype)
+
+            def em_update(xk):
+                psum_rg = _mv(A, xk, dtype)
+                psum_rg = jnp.where(psum_rg == 0, 1, psum_rg)
+                local = xk * _vm(cts_f / psum_rg, A, dtype)
+                count = jax.lax.psum(local, axis)
+                per_len = count / ec_len_r
+                x1 = per_len / per_len.sum()
+                return x1, count
+
+            return em_update
+    else:
+        # ---- scatter-free segment E-step (per-entry counts, or the
+        # per-shard dense incidence exceeds the device budget)
+        data = (sec, secs_sorted, srgo, ctso.astype(np.float64), srgs,
+                srge, secs, sece)
+        data_in_specs = (P(axis, None),) * 8 + (P(),)
+
+        def make_update(shard_args, ec_len_r):
+            (sec_f, secs_f, srgo_f, ctso_f, rgs_f, rge_f, ecs_f,
+             ece_f) = (a.reshape(-1) for a in shard_args)
+
+            def em_update(xk):
+                # per-read-group normalizers are shard-local (whole
+                # groups per shard); per-EC counts merge with the psum
+                psum_rg = sorted_segment_sum(xk[sec_f], rgs_f, rge_f)
+                psum_rg = jnp.where(psum_rg == 0, 1, psum_rg)
+                contrib = ctso_f * xk[secs_f] / psum_rg[srgo_f]
+                local = sorted_segment_sum(contrib, ecs_f, ece_f)
+                count = jax.lax.psum(local, axis)
+                per_len = count / ec_len_r
+                x1 = per_len / per_len.sum()
+                return x1, count
+
+            return em_update
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P()) + data_in_specs,
         out_specs=(P(), P(), P()),
     )
-    def round_step(t, x, sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
-                   ece_s, ec_len_r):
-        return shard_round(
-            t, x, sec_s.reshape(-1), secs_s.reshape(-1), srgo_s.reshape(-1),
-            ctso_s.reshape(-1), rgs_s.reshape(-1), rge_s.reshape(-1),
-            ecs_s.reshape(-1), ece_s.reshape(-1), ec_len_r)
+    def round_step(t, x, *shard_args):
+        em_update = make_update(shard_args[:-1], shard_args[-1])
+        return squarem_round(t, x, em_update)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=data_in_specs,
         out_specs=(P(), P(), P()),
     )
-    def full_loop(sec_s, secs_s, srgo_s, ctso_s, rgs_s, rge_s, ecs_s,
-                  ece_s, ec_len_r):
+    def full_loop(*shard_args):
         # SINGLE dispatch: the whole convergence loop on device, psum
         # inside the while body.  Loop state (t, x, count, round count)
         # is computed identically on every shard from replicated inputs,
         # so all shards agree on the trip count and the psums pair up.
-        flat = (sec_s.reshape(-1), secs_s.reshape(-1), srgo_s.reshape(-1),
-                ctso_s.reshape(-1), rgs_s.reshape(-1), rge_s.reshape(-1),
-                ecs_s.reshape(-1), ece_s.reshape(-1), ec_len_r)
+        # The dense incidence is built ONCE here, loop-invariant.
+        em_update = make_update(shard_args[:-1], shard_args[-1])
 
         def body(state):
             t, x, _, rounds = state
-            t1, x1, count = shard_round(t, x, *flat)
+            t1, x1, count = squarem_round(t, x, em_update)
             return t1, x1, count, rounds + 1
 
         def cond(state):
             return state[0] < max_iterations
 
-        ec_cnt_l = ec_len_r.shape[0]
+        ec_cnt_l = shard_args[-1].shape[0]
         state0 = (jnp.zeros((), jnp.int32),
                   jnp.asarray(init_x, dtype),
                   jnp.zeros(ec_cnt_l, dtype),
@@ -278,9 +331,7 @@ def em_quantify_sharded_squarem(
     shard2 = NamedSharding(mesh, P(axis, None))
     repl = NamedSharding(mesh, P())
     args = tuple(
-        jax.device_put(jnp.asarray(a), shard2)
-        for a in (sec, secs_sorted, srgo, ctso.astype(np.float64), srgs,
-                  srge, secs, sece))
+        jax.device_put(jnp.asarray(a), shard2) for a in data)
     ec_len_d = jax.device_put(jnp.asarray(ec_len, dtype), repl)
     if single_dispatch is None:
         single_dispatch = mesh.devices.flat[0].platform != "cpu"

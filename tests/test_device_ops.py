@@ -217,7 +217,10 @@ def test_sharded_squarem_single_dispatch_matches_host_loop():
     it_host, count_host = em_quantify_sharded_squarem(
         *common, single_dispatch=False)
     assert it_one == it_host == it_native
-    np.testing.assert_allclose(count_one, count_host, rtol=1e-12, atol=1e-12)
+    # while_loop vs per-dispatch compile to different fusions, which can
+    # reassociate the f32 matvec accumulation by 1-2 ulps — identical
+    # trip counts and float-level counts are the contract
+    np.testing.assert_allclose(count_one, count_host, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(count_one, count_native,
                                rtol=2e-3, atol=1e-3)
 
