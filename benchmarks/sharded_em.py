@@ -15,8 +15,9 @@ chip:
           workaround) — through a relay this pays an RTT per round
 
 Prints one JSON line per mode:
-  {"metric": "sharded_em_squarem_rounds_per_s", "dispatch": ...,
-   "rounds": N, "value": rounds_per_s}
+  {"metric": "sharded_em_convergence_wall_s", "dispatch": ...,
+   "rounds_to_convergence": N, "value": seconds,
+   "rounds_per_s_incl_dispatch": R}
 """
 
 from __future__ import annotations

@@ -51,6 +51,35 @@ def is_low_complexity(seq: str) -> bool:
         np.array([len(seq)], np.int64))[0])
 
 
+def lazy_device_screen(backend: str, build):
+    """Size-gated lazy device-screen factory shared by the FASTQ and BAM
+    extraction paths.  Returns get(n_new) -> DeviceScreen-or-None: the
+    device engages only once T1K_SCREEN_DEVICE_MIN_READS (default 2M)
+    reads have streamed through — the per-process device setup (probe +
+    kernel loads + first dispatches: 1-3s locally, 15-30s through a
+    congested relay) only amortizes on large inputs, and the mid-run
+    switch is safe because both routes are byte-identical.  Small jobs
+    never probe.  backend "tpu" forces the device from the first call;
+    `build` is called lazily exactly once."""
+    import os as _os
+
+    state = {"screen": None, "checked": False, "reads": 0}
+    dev_min = int(_os.environ.get("T1K_SCREEN_DEVICE_MIN_READS", "2000000"))
+
+    def get(n_new: int):
+        if not state["checked"] and (
+                backend == "tpu"
+                or (backend == "auto" and state["reads"] >= dev_min)):
+            state["checked"] = True
+            from .pipeline import tpu_present
+            if backend == "tpu" or tpu_present():
+                state["screen"] = build()
+        state["reads"] += n_new
+        return state["screen"]
+
+    return get
+
+
 def screen_flags(codes_cat: np.ndarray, lens: np.ndarray,
                  starts: np.ndarray, device_screen, engine):
     """Batched candidate screen shared by the FASTQ and BAM extraction
@@ -199,33 +228,14 @@ def run_extractor(
     # caps fall back to the native engine; output is byte-identical by
     # construction.
     # Routing: the device screen's STEADY-STATE rate beats the native
-    # screen (~700k vs 150-190k reads/s per core, bulk compute with a
-    # small interface), but each process pays a fixed setup tax first
-    # (probe + kernel loads + first dispatches: ~1-3s locally, 15-30s
-    # through a congested relay).  "auto" therefore gates on TPU
-    # presence AND input size: the device engages only once the run has
-    # streamed T1K_SCREEN_DEVICE_MIN_READS (default 2M — where the
-    # steady-state saving amortizes even relay-class setup), switching
-    # mid-run, which is safe because both routes are byte-identical.
-    # Small jobs never probe at all.  backend "tpu" forces the device
-    # from the first read.
-    device_screen = None
-    screened_reads = 0
-    device_checked = False
-    dev_min = int(os.environ.get("T1K_SCREEN_DEVICE_MIN_READS", "2000000"))
+    # screen (~700k vs 150-190k reads/s per core), but the per-process
+    # setup only amortizes on large inputs — see lazy_device_screen.
+    def _build():
+        from ..ops.phase_a import DeviceScreen
+        return DeviceScreen.build(packed, kmer_length, hit_len,
+                                  opts.ref_seq_similarity)
 
-    def _maybe_device_screen():
-        nonlocal device_screen, device_checked
-        if device_checked:
-            return
-        if opts.backend == "tpu" or (opts.backend == "auto"
-                                     and screened_reads >= dev_min):
-            device_checked = True
-            from .pipeline import tpu_present
-            if opts.backend == "tpu" or tpu_present():
-                from ..ops.phase_a import DeviceScreen
-                device_screen = DeviceScreen.build(
-                    packed, kmer_length, hit_len, opts.ref_seq_similarity)
+    get_screen = lazy_device_screen(opts.backend, _build)
 
     # Screen: low-complexity prefilter, then batched k-mer chained
     # screen (screen_flags, shared with the BAM extraction path).  The
@@ -233,12 +243,10 @@ def run_extractor(
     # vectorized (a per-read numpy call costs ~15us of fixed overhead —
     # 0.3s per 20k reads).
     def screen(recs: List[SeqRecord]) -> np.ndarray:
-        nonlocal screened_reads
         n = len(recs)
         if n == 0:
             return np.zeros(0, dtype=np.uint8)
-        _maybe_device_screen()
-        screened_reads += n
+        device_screen = get_screen(n)
         codes_cat = encode_seq("".join(r.seq for r in recs))
         lens_all = np.array([len(r.seq) for r in recs], dtype=np.int64)
         starts_all = np.zeros(n, dtype=np.int64)

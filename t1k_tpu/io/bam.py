@@ -467,7 +467,7 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
                      mate_id_len: int = -1,
                      bc_field: str = "", umi_field: str = "") -> dict:
     from ..constants import EXTRACTOR_KMER_LENGTH, encode_seq
-    from ..core.extractor import screen_flags
+    from ..core.extractor import lazy_device_screen, screen_flags
     from ..io.reads import read_seq_file
     from ..io.refset import RefSet
     from ..native import NativeEngine
@@ -611,34 +611,21 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
             hit_len = kmer_length
     engine = NativeEngine(packed, kmer_length, hit_len_required=hit_len)
 
-    # Device screen, same routing as the FASTQ extractor (presence AND
-    # input size — core/extractor.py): the exact phase-A program screens
-    # flushed batches on the chip once the run has streamed enough reads
-    # to amortize the per-process device setup; reads whose hit volume
-    # overflows the static caps are re-screened by the native engine, so
-    # output stays byte-identical (which also makes the mid-run switch
-    # safe).  Small jobs never probe.
+    # Device screen, same size-gated routing as the FASTQ extractor
+    # (core/extractor.py lazy_device_screen): the exact phase-A program
+    # screens flushed batches on the chip once the run has streamed
+    # enough reads to amortize the per-process device setup; undecided
+    # reads re-screen natively, so output stays byte-identical (which
+    # also makes the mid-run switch safe).
     backend = getattr(opts, "backend", "auto") if opts is not None else "auto"
-    device_screen = None
-    screened_reads = 0
-    device_checked = False
-    dev_min = int(os.environ.get("T1K_SCREEN_DEVICE_MIN_READS", "2000000"))
 
-    def _maybe_device_screen():
-        nonlocal device_screen, device_checked
-        if device_checked:
-            return
-        if backend == "tpu" or (backend == "auto"
-                                and screened_reads >= dev_min):
-            device_checked = True
-            from ..core.pipeline import tpu_present
-            if backend == "tpu" or tpu_present():
-                from ..ops.phase_a import DeviceScreen
-                # bam-extractor has no -s knob; HasHitInSet runs at the
-                # default similarity (reference BamExtractor.cpp uses
-                # SeqSet defaults)
-                device_screen = DeviceScreen.build(packed, kmer_length,
-                                                   hit_len, 0.8)
+    def _build():
+        from ..ops.phase_a import DeviceScreen
+        # bam-extractor has no -s knob; HasHitInSet runs at the default
+        # similarity (reference BamExtractor.cpp uses SeqSet defaults)
+        return DeviceScreen.build(packed, kmer_length, hit_len, 0.8)
+
+    get_screen = lazy_device_screen(backend, _build)
 
     if paired:
         fp1 = open(f"{output_prefix}_1.fq", "w")
@@ -683,13 +670,12 @@ def extract_from_bam(bam_path: str, coord_path: str, ref_fasta: str,
         return len(screen_seqs) - 1
 
     def flush_jobs():
-        nonlocal jobs, screen_seqs, n_out, screened_reads
+        nonlocal jobs, screen_seqs, n_out
         if not jobs:
             return
         if screen_seqs:
             n = len(screen_seqs)
-            _maybe_device_screen()
-            screened_reads += n
+            device_screen = get_screen(n)
             lens = np.array([len(s) for s in screen_seqs], np.int64)
             starts = np.zeros(n, np.int64)
             starts[1:] = np.cumsum(lens[:-1])

@@ -93,14 +93,24 @@ struct InflatePool {
   typedef z_stream* Dec;
   static Dec DecAlloc() {
     z_stream* zs = new z_stream{};
-    inflateInit2(zs, -15);  // raw deflate
+    if (inflateInit2(zs, -15) != Z_OK) {  // raw deflate
+      delete zs;
+      return nullptr;
+    }
     return zs;
   }
   static void DecFree(Dec zs) {
+    if (!zs) return;
     inflateEnd(zs);
     delete zs;
   }
   void InflateOne(Dec zs, const Task& t) {
+    // a failed decompressor init must surface as a scan error, not a
+    // silent fake EOF on a truncated output
+    if (!zs) {
+      fail.store(true, std::memory_order_relaxed);
+      return;
+    }
     inflateReset(zs);
     zs->next_in = const_cast<Bytef*>(t.src);
     zs->avail_in = (uInt)t.srcLen;
@@ -356,8 +366,12 @@ static bool RefillParallel(Scanner& s) {
     dst += m.outLen;
   }
   if (!s.pool->Execute(std::move(tasks))) {
-    // corrupt/truncated member: drop this batch's (partially zeroed)
-    // output and stop, like the serial path does on an inflate error
+    // corrupt/truncated member OR failed decompressor init: drop this
+    // batch's (partially zeroed) output and stop, like the serial path
+    // does on an inflate error.  Stop-at-corruption (rather than
+    // raising) is the documented survival deviation the BAM fuzz pins;
+    // an environmental init failure lands here too and yields an empty
+    // scan instead of garbage records.
     s.data.resize(base);
     s.eof = true;
     return s.data.size() > s.dataPos;
